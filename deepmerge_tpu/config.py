@@ -1,0 +1,176 @@
+"""Configuration system.
+
+Replaces the reference's hardcoded singleton (``config.py:9-34`` in
+lvxianwei/DeepMerge) with typed dataclasses plus CLI/JSON overrides. All
+hyperparameters that were edit-in-source in the reference (variant selection at
+``Train_SMT.py:363-379``, margin/λ/β at ``:380-386``) are first-class fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """S2Former family configuration.
+
+    Mirrors the knobs of the reference model family
+    (``nets/ShfitScaleFormer.py``): variant selects v1..v6 behavior, the rest
+    map 1:1 onto the reference constructor arguments. The shipped reference
+    model is v3 with ``scales=[32,64,128]``, ``cube=8``, ``depth=(6,4,2)``
+    (``Train_SMT.py:374``).
+    """
+
+    variant: str = "v3"                       # v1 | v2 | v3 | v4 | v5 | v6
+    input_image_scales: tuple[int, ...] = (32, 64, 128)
+    cube: int = 8                             # stage-0 token grid side per scale
+    embed_dim: int = 768
+    depth: tuple[int, ...] = (6, 4, 2)        # per-stage depths (v1/v2: single int in [0])
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_dim: int = 100                        # embedding dimension (ref: Linear -> 100)
+    num_classes: int = 11                     # optional classification head (ref head, unused in train)
+    designed_feature_dim: int = 19            # 15 region attributes + 4 scale factors
+    use_designed_features: bool = True        # is_designed_feature_embedding
+    in_channels: int = 3
+    drop_ratio: float = 0.0
+    attn_drop_ratio: float = 0.0
+    drop_path_ratio: float = 0.0
+    dtype: str = "bfloat16"                   # compute dtype on TPU (params stay f32)
+
+    @property
+    def n_scales(self) -> int:
+        return len(self.input_image_scales)
+
+    @property
+    def name(self) -> str:
+        # Self-describing name, analog of nets/ShfitScaleFormer.py:791-796.
+        tag = f"S2Former_{self.variant}-{self.n_scales}CH"
+        if self.use_designed_features:
+            tag += "-3DP-SEF"
+        depth = "".join(str(d) for d in self.depth)
+        return f"{tag}-{depth}"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset / patch-pipeline configuration.
+
+    ``patch_sizes`` are the fixed per-scale-slot resize targets (reference
+    ``configs.scales=[32,64,128,1]`` at ``config.py:32``; the 4th slot is the
+    scale-factor-only slot). ``max_window`` caps the adaptive crop window so
+    gather + resize stay static-shaped under jit.
+    """
+
+    patch_sizes: tuple[int, ...] = (32, 64, 128)
+    factor_slots: int = 4                     # factors vector length (ref get_scales -> 4)
+    max_window: int = 512                     # static cap on adaptive window side
+    channels: int = 3
+    batch_size: int = 120                     # ref config.py:19 ("120 for 642")
+    eval_batch_size: int = 2000               # ref ExtractFeatures.py:45
+    quantize_uint8: bool = True               # emulate cv2-on-uint8 rounding before /255
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop configuration (reference ``Train_SMT.py:143-394``)."""
+
+    num_epochs: int = 100
+    lr: float = 1e-4
+    lr_milestones: tuple[int, ...] = (40, 80)  # MultiStepLR epochs
+    lr_gamma: float = 0.2
+    margin: float = 1.0
+    lamda: float = 0.1
+    belta: float = 0.0
+    seed: int = 0
+    checkpoint_every: int = 5                 # epochs (ref Train_SMT.py:317)
+    checkpoint_tail_from: int = 90            # every epoch >= this
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "logs"
+    resume: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit sharding.
+
+    The workload is embarrassingly batch-parallel (SURVEY.md §2.4): ``data``
+    is the primary axis; ``model`` optionally shards attention heads / FFN
+    hidden over ICI for scaled-up embed dims.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1                   # size of model axis (1 = pure DP)
+
+
+@dataclass(frozen=True)
+class MergeConfig:
+    """Iterative merge engine configuration."""
+
+    threshold: float = 1.0                    # merge edges with distance < threshold
+    max_rounds: int = 16
+    edge_batch: int = 8192                    # padded edge-batch size per scoring call
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    merge: MergeConfig = field(default_factory=MergeConfig)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+        return Config(
+            model=_from_dict(ModelConfig, raw.get("model", {})),
+            data=_from_dict(DataConfig, raw.get("data", {})),
+            train=_from_dict(TrainConfig, raw.get("train", {})),
+            mesh=_from_dict(MeshConfig, raw.get("mesh", {})),
+            merge=_from_dict(MergeConfig, raw.get("merge", {})),
+        )
+
+
+def _from_dict(cls: type, raw: dict) -> Any:
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name in raw:
+            v = raw[f.name]
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[f.name] = v
+    return cls(**kw)
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``section.key=value`` CLI overrides, e.g. ``model.depth=6,4,2``."""
+    out = cfg
+    for item in overrides:
+        key, _, val = item.partition("=")
+        section_name, _, field_name = key.partition(".")
+        section = getattr(out, section_name)
+        old = getattr(section, field_name)
+        new: Any
+        if isinstance(old, bool):
+            new = val.lower() in ("1", "true", "yes")
+        elif isinstance(old, tuple):
+            elem = type(old[0]) if old else int
+            new = tuple(elem(x) for x in val.split(","))
+        elif old is None:
+            new = val
+        else:
+            new = type(old)(val)
+        out = out.replace(**{section_name: dataclasses.replace(section, **{field_name: new})})
+    return out

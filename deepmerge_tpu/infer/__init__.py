@@ -1,0 +1,3 @@
+from deepmerge_tpu.infer.extract import FeatureExtractor, FeatureStore  # noqa: F401
+from deepmerge_tpu.infer.scoring import score_scene_edges, region_embeddings  # noqa: F401
+from deepmerge_tpu.infer.merge import MergeEngine, UnionFind, merge_scene  # noqa: F401

@@ -1,0 +1,125 @@
+"""Batched region-embedding extraction + feature store.
+
+TPU-native redesign of ``ExtractFeatures.py:27-116`` (``FeatureIO``): every
+sample point of a scene is embedded by the eval single-branch forward in
+fixed-size padded batches (one compiled program, no shape churn), streamed
+device→host, and appended to a feature store. The store speaks the
+reference's resizable-HDF5 format (``save_h5`` at ``ExtractFeatures.py:88-
+101``: one growable dataset named ``"dataset"``) when h5py is available, and
+falls back to an in-memory array otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepmerge_tpu.config import DataConfig
+from deepmerge_tpu.geodata.types import Scene
+from deepmerge_tpu.train.sampler import DeviceScene, point_batch, stage_scene
+
+try:
+    import h5py
+
+    _HAS_H5PY = True
+except Exception:  # pragma: no cover
+    _HAS_H5PY = False
+
+
+class FeatureStore:
+    """Append-only embedding store, HDF5-compatible with the reference."""
+
+    def __init__(self, path: Optional[str] = None, dataset_name: str = "dataset"):
+        self.path = path
+        self.dataset_name = dataset_name
+        self._chunks: list[np.ndarray] = []
+        self._h5 = None
+        if path is not None:
+            if not _HAS_H5PY:
+                raise RuntimeError("h5py unavailable; use in-memory store")
+            self._h5 = h5py.File(path, "w")
+
+    def append(self, data: np.ndarray) -> None:
+        if self._h5 is not None:
+            if self.dataset_name not in self._h5:
+                maxshape = (None,) + data.shape[1:]
+                self._h5.create_dataset(
+                    self.dataset_name, data=data, maxshape=maxshape, chunks=True
+                )
+            else:
+                ds = self._h5[self.dataset_name]
+                old = ds.shape[0]
+                ds.resize((old + data.shape[0],) + data.shape[1:])
+                ds[old:] = data
+        else:
+            self._chunks.append(np.asarray(data))
+
+    def read_all(self) -> np.ndarray:
+        if self._h5 is not None:
+            return np.asarray(self._h5[self.dataset_name])
+        return np.concatenate(self._chunks, axis=0)
+
+    def get_by_id(self, idx: int) -> np.ndarray:
+        """Random access by point FID (``GetFeaturesByID``, ref :109-112)."""
+        if self._h5 is not None:
+            return np.asarray(self._h5[self.dataset_name][idx])
+        return self.read_all()[idx]
+
+    def close(self) -> None:
+        if self._h5 is not None:
+            self._h5.close()
+            self._h5 = None
+
+    @staticmethod
+    def open(path: str, dataset_name: str = "dataset") -> np.ndarray:
+        if not _HAS_H5PY:
+            raise RuntimeError("h5py unavailable")
+        with h5py.File(path, "r") as f:
+            return np.asarray(f[dataset_name])
+
+
+class FeatureExtractor:
+    """Embeds every sample point of a scene (``extract_features``, ref :45-86)."""
+
+    def __init__(self, model, params, batch_stats=None, batch_size: int = 2000):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.batch_size = batch_size
+
+        def fwd(patches, designed):
+            variables = {"params": self.params}
+            if self.batch_stats:
+                variables["batch_stats"] = self.batch_stats
+            return self.model.apply(variables, patches, designed, False)
+
+        self._fwd = jax.jit(fwd)
+
+    def extract_scene(
+        self,
+        scene: Scene,
+        cfg: DataConfig,
+        store: Optional[FeatureStore] = None,
+        device_scene: Optional[DeviceScene] = None,
+    ) -> np.ndarray:
+        """Embed all sample points; returns (P, out_dim) float32 (host)."""
+        ds = device_scene or stage_scene(scene, cfg)
+        n = ds.points_yx.shape[0]
+        bs = self.batch_size
+        out = []
+        for start in range(0, n, bs):
+            idx = np.arange(start, min(start + bs, n))
+            pad = bs - len(idx)
+            if pad:  # pad to the compiled batch shape, drop after
+                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+            patches, designed = point_batch(ds, idx, cfg)
+            emb = np.asarray(self._fwd(patches, designed), np.float32)
+            if pad:
+                emb = emb[: bs - pad]
+            if store is not None:
+                store.append(emb)
+            out.append(emb)
+        return np.concatenate(out, axis=0)

@@ -1,0 +1,166 @@
+"""Iterative region-merge engine.
+
+The capability the reference only gestures at (it stops at scored edges,
+``SURVEY.md §0``): rounds of
+
+  device: cluster embeddings (segment mean over point embeddings)
+          → padded edge-batch scoring
+  host:   union-find over passing edges → stable relabel
+          → RAG contraction (edge remap + dedupe)
+
+until no edge scores under the merge threshold. Relabeling is deterministic
+(roots ordered by smallest member id), which keeps multi-shard runs
+reproducible — the parity bar (BASELINE.md) requires it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from deepmerge_tpu.geodata.types import Scene
+from deepmerge_tpu.infer.scoring import region_embeddings, score_edges
+
+try:
+    from deepmerge_tpu.native import unionfind as _native_uf
+except Exception:  # pragma: no cover - native ext optional
+    _native_uf = None
+
+
+class UnionFind:
+    """Path-halving union-find with deterministic min-root relabel."""
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return int(x)
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id wins
+            if ra < rb:
+                self.parent[rb] = ra
+            else:
+                self.parent[ra] = rb
+
+    def union_edges(self, edges: np.ndarray) -> None:
+        for a, b in edges:
+            self.union(int(a), int(b))
+
+    def labels(self) -> tuple[np.ndarray, int]:
+        """Compress to dense labels 0..k-1 ordered by smallest member id."""
+        n = len(self.parent)
+        roots = np.fromiter((self.find(i) for i in range(n)), np.int64, n)
+        uniq, dense = np.unique(roots, return_inverse=True)
+        return dense.astype(np.int32), len(uniq)
+
+
+def connected_labels(n: int, edges: np.ndarray) -> tuple[np.ndarray, int]:
+    """Dense connected-component labels of n nodes under ``edges``."""
+    if _native_uf is not None:
+        return _native_uf.connected_labels(n, edges)
+    uf = UnionFind(n)
+    uf.union_edges(edges)
+    return uf.labels()
+
+
+@dataclass
+class MergeResult:
+    region_to_cluster: np.ndarray          # (R,) final cluster id per region
+    num_clusters: int
+    rounds: int
+    edges_scored: int
+    merges_per_round: list[int] = field(default_factory=list)
+
+    def label_map(self, scene: Scene) -> np.ndarray:
+        """Merged (H, W) label map: region labels → cluster ids."""
+        return self.region_to_cluster[scene.labels]
+
+
+class MergeEngine:
+    """Round-based merge loop over a scored RAG."""
+
+    def __init__(
+        self,
+        threshold: float = 1.0,
+        max_rounds: int = 16,
+        edge_batch: int = 8192,
+    ):
+        self.threshold = threshold
+        self.max_rounds = max_rounds
+        self.edge_batch = edge_batch
+
+    def run(
+        self,
+        point_embeddings: np.ndarray,
+        point_region: np.ndarray,
+        num_regions: int,
+        edges: np.ndarray,
+    ) -> MergeResult:
+        point_region = np.asarray(point_region, np.int64)
+        cur_labels = np.arange(num_regions, dtype=np.int64)  # region→cluster
+        cur_edges = np.asarray(edges, np.int64)
+        n_clusters = num_regions
+        total_scored = 0
+        merges = []
+        rounds = 0
+
+        for rounds in range(1, self.max_rounds + 1):
+            if len(cur_edges) == 0:
+                rounds -= 1
+                break
+            # device: cluster embeddings + edge scores
+            pt_cluster = cur_labels[point_region]
+            cemb = region_embeddings(point_embeddings, pt_cluster, n_clusters)
+            d = score_edges(cemb, cur_edges, self.edge_batch)
+            total_scored += len(cur_edges)
+
+            passing = cur_edges[d < self.threshold]
+            merges.append(len(passing))
+            if len(passing) == 0:
+                rounds -= 1
+                break
+
+            # host: union-find over passing edges, stable relabel
+            comp, n_new = connected_labels(n_clusters, passing)
+            cur_labels = comp.astype(np.int64)[cur_labels]
+
+            # contract the RAG
+            remapped = comp[cur_edges]
+            keep = remapped[:, 0] != remapped[:, 1]
+            remapped = remapped[keep]
+            lo = np.minimum(remapped[:, 0], remapped[:, 1])
+            hi = np.maximum(remapped[:, 0], remapped[:, 1])
+            cur_edges = np.unique(np.stack([lo, hi], 1), axis=0)
+            n_clusters = n_new
+
+        return MergeResult(
+            region_to_cluster=cur_labels.astype(np.int32),
+            num_clusters=n_clusters,
+            rounds=rounds,
+            edges_scored=total_scored,
+            merges_per_round=merges,
+        )
+
+
+def merge_scene(
+    scene: Scene,
+    point_embeddings: np.ndarray,
+    threshold: float = 1.0,
+    max_rounds: int = 16,
+    edge_batch: int = 8192,
+) -> MergeResult:
+    engine = MergeEngine(threshold, max_rounds, edge_batch)
+    return engine.run(
+        point_embeddings,
+        scene.regions.point_region,
+        scene.regions.num_regions,
+        scene.rag.edges,
+    )

@@ -1,0 +1,15 @@
+from deepmerge_tpu.ops.resize import (  # noqa: F401
+    resize_weights,
+    crop_resize,
+    area_resize,
+)
+from deepmerge_tpu.ops.patches import (  # noqa: F401
+    pad_scene,
+    extract_multiscale_patches,
+    adaptive_scales,
+)
+from deepmerge_tpu.ops.segment import (  # noqa: F401
+    segment_mean,
+    pairwise_sqdist,
+    edge_distances,
+)

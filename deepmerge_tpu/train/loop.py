@@ -1,0 +1,173 @@
+"""Training loop: jitted Siamese train step + epoch driver.
+
+TPU-native redesign of ``Train_SMT.py:143-394``:
+  * The Siamese forward is ONE batched forward over the stacked
+    [left; right] pairs (2B on the batch axis feeding the MXU), split
+    afterwards — not two sequential branch calls.
+  * Adam(1e-4) + piecewise-constant decay ×0.2 at epochs [40, 80]
+    (``Train_SMT.py:192-194``) via optax.
+  * Per-epoch pair resampling (the reference rebuilds its dataset every epoch
+    with fresh random point draws, ``Train_SMT.py:217-221``) is a fresh PRNG
+    key fed to the sampler — no dataset rebuild.
+  * Data parallelism is GSPMD: batches arrive sharded over the mesh's data
+    axis and XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from deepmerge_tpu.config import Config
+from deepmerge_tpu.models.s2former import S2Former
+from deepmerge_tpu.train.losses import contrastive_pair_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def lr_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
+    """MultiStepLR(milestones=[40, 80], gamma=0.2) equivalent."""
+    t = cfg.train
+    boundaries = {m * steps_per_epoch: t.lr_gamma for m in t.lr_milestones}
+    return optax.piecewise_constant_schedule(t.lr, boundaries)
+
+
+def create_train_state(
+    model: S2Former, cfg: Config, rng, steps_per_epoch: int = 1
+) -> TrainState:
+    from deepmerge_tpu.models.s2former import init_params
+
+    variables = init_params(model, rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = optax.adam(lr_schedule(cfg, steps_per_epoch))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_train_step(
+    model: S2Former,
+    cfg: Config,
+    aux_weights: tuple[float, float] = (0.0, 0.0),
+):
+    """Build the jitted Siamese train step.
+
+    Batch pytree:
+      left_patches / right_patches: tuple of (B, s, s, C) per input scale
+      left_designed / right_designed: (B, 19)
+      flag: (B,) float — 1 same-object, 0 different (``MyUtils1.py:35-36``)
+
+    ``aux_weights`` enables v4/v5 deep supervision (the reference keeps the
+    weighted aux sum commented out at ``Train_SMT.py:285-288``; default off).
+    """
+    margin = cfg.train.margin
+    has_aux_heads = model.cfg.variant in ("v4", "v5")
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        stacked = tuple(
+            jnp.concatenate([l, r], axis=0)
+            for l, r in zip(batch["left_patches"], batch["right_patches"])
+        )
+        designed = jnp.concatenate(
+            [batch["left_designed"], batch["right_designed"]], axis=0
+        )
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = model.apply(
+            variables, stacked, designed, True,
+            rngs={"dropout": dropout_rng}, mutable=mutable,
+        )
+        out, new_state = out if mutable else (out, {})
+        if has_aux_heads:
+            emb, aux0, aux1 = out
+        else:
+            emb, aux0, aux1 = out, None, None
+        el, er = jnp.split(emb, 2, axis=0)
+        flag = batch["flag"]
+        loss = contrastive_pair_loss(el, er, flag, margin)
+        if aux0 is not None and aux_weights[0] > 0.0:
+            a0l, a0r = jnp.split(aux0, 2, axis=0)
+            loss += aux_weights[0] * contrastive_pair_loss(a0l, a0r, flag, margin)
+        if aux1 is not None and aux_weights[1] > 0.0:
+            a1l, a1r = jnp.split(aux1, 2, axis=0)
+            loss += aux_weights[1] * contrastive_pair_loss(a1l, a1r, flag, margin)
+        return loss, new_state.get("batch_stats", batch_stats)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, dropout_rng
+        )
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_bs)
+        return state, {"loss": loss}
+
+    return train_step
+
+
+def make_eval_step(model: S2Former):
+    """Jitted single-branch embedding forward (inference path)."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, patches, designed):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, patches, designed, False)
+
+    return eval_step
+
+
+def train_epoch(
+    state: TrainState,
+    train_step,
+    batches,
+    rng,
+    log_every: int = 0,
+    log_fn=print,
+) -> tuple[TrainState, float]:
+    """Run one epoch over an iterable of batches; returns mean loss."""
+    total, count = 0.0, 0
+    t0 = time.time()
+    for i, batch in enumerate(batches):
+        state, metrics = train_step(state, batch, rng)
+        total += float(metrics["loss"])
+        count += 1
+        if log_every and (i + 1) % log_every == 0:
+            log_fn(
+                f"  step {i + 1}: loss={total / count:.5f} "
+                f"({(time.time() - t0) / count:.3f}s/step)"
+            )
+    return state, total / max(count, 1)

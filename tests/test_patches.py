@@ -1,0 +1,85 @@
+"""Patch pipeline parity vs the reference-semantics oracle (cut + resize)."""
+
+import numpy as np
+import pytest
+
+from deepmerge_tpu.ops.patches import (
+    adaptive_scales,
+    extract_multiscale_patches,
+    pad_scene,
+)
+from tests.oracle import ref_get_scales, ref_patches
+
+PATCH_SIZES = (16, 32, 64)
+CAP = 128
+
+
+def test_adaptive_scales_match_reference():
+    inner = np.array([10, 4, 30])
+    obj = np.array([20, 9, 50])
+    scales, factors = adaptive_scales(inner, obj, tuple(PATCH_SIZES) + (1,))
+    for i in range(3):
+        s_ref, f_ref = ref_get_scales(inner[i], obj[i], tuple(PATCH_SIZES) + (1,))
+        np.testing.assert_array_equal(np.asarray(scales)[i], s_ref)
+        np.testing.assert_allclose(np.asarray(factors)[i], f_ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_patches_match_oracle_interior(seed, rng):
+    h, w = 200, 180
+    image = (np.random.RandomState(seed).rand(h, w, 3) * 255).astype(np.uint8)
+    padded = pad_scene(image, CAP)
+    pts = np.array([[100, 90], [64, 64], [150, 120], [33, 140]], np.int32)
+    inner = np.array([8, 15, 21, 5], np.int32)
+    obj = np.array([20, 25, 40, 11], np.int32)
+    scales, _ = adaptive_scales(inner, obj, tuple(PATCH_SIZES) + (1,))
+
+    ours = extract_multiscale_patches(
+        padded, pts, scales, PATCH_SIZES, cap=CAP, chunk=2
+    )
+    for b in range(len(pts)):
+        ref, _, _ = ref_patches(image, pts[b], inner[b], obj[b], PATCH_SIZES)
+        for slot in range(len(PATCH_SIZES)):
+            got = np.asarray(ours[slot][b])
+            assert (
+                np.abs(got * 255 - ref[slot] * 255).max() <= 1.001
+            ), f"point {b} slot {slot}"
+
+
+def test_patches_match_oracle_at_borders(rng):
+    """Windows straddling scene borders must reproduce zero-padded clipping."""
+    h, w = 96, 96
+    image = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    padded = pad_scene(image, CAP)
+    # corners and edges, with scales big enough to overhang
+    pts = np.array(
+        [[0, 0], [2, 90], [95, 0], [95, 95], [1, 48], [48, 1]], np.int32
+    )
+    inner = np.full(len(pts), 9, np.int32)
+    obj = np.full(len(pts), 31, np.int32)
+    scales, _ = adaptive_scales(inner, obj, tuple(PATCH_SIZES) + (1,))
+
+    ours = extract_multiscale_patches(
+        padded, pts, scales, PATCH_SIZES, cap=CAP, chunk=3
+    )
+    for b in range(len(pts)):
+        ref, _, _ = ref_patches(image, pts[b], inner[b], obj[b], PATCH_SIZES)
+        for slot in range(len(PATCH_SIZES)):
+            got = np.asarray(ours[slot][b])
+            assert (
+                np.abs(got * 255 - ref[slot] * 255).max() <= 1.001
+            ), f"border point {b} slot {slot}"
+
+
+def test_batch_padding_roundtrip(rng):
+    """Batch size not divisible by chunk still returns exactly B patches."""
+    image = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    padded = pad_scene(image, CAP)
+    pts = np.array([[32, 32]] * 5, np.int32)
+    scales = np.tile(np.array([[8, 16, 24, 32]], np.int32), (5, 1))
+    out = extract_multiscale_patches(
+        padded, pts, scales, PATCH_SIZES, cap=CAP, chunk=4
+    )
+    assert out[0].shape == (5, 16, 16, 3)
+    # identical points -> identical patches
+    np.testing.assert_array_equal(np.asarray(out[0][0]), np.asarray(out[0][4]))
