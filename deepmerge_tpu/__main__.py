@@ -1,0 +1,130 @@
+"""CLI: ``python -m deepmerge_tpu <command> [section.key=value ...]``.
+
+The reference has no CLI at all — every hyperparameter is edited in source
+(``Train_SMT.py:363-379``, ``config.py``). Commands:
+
+  train              train on a synthetic scene (or --scene-dir real data)
+  extract            extract + score + merge one scene folder
+  process-folder     multi-scene batch (ExtractFeatures.py:241-303 analog)
+  export-synthetic   write a synthetic scene in the reference file layout
+  config             print the resolved config
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from deepmerge_tpu.config import Config, apply_overrides
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="deepmerge_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train")
+    p_train.add_argument("--scene-dir", help="reference-layout data dir")
+    p_train.add_argument("--scene-name", help="scene name inside --scene-dir")
+    p_train.add_argument("--epochs", type=int)
+    p_train.add_argument("--max-steps", type=int)
+    p_train.add_argument("--mesh", action="store_true")
+    p_train.add_argument("overrides", nargs="*", default=[])
+
+    p_ex = sub.add_parser("extract")
+    p_ex.add_argument("--image", required=True)
+    p_ex.add_argument("--polygons", required=True)
+    p_ex.add_argument("--points", required=True)
+    p_ex.add_argument("--lines")
+    p_ex.add_argument("--h5")
+    p_ex.add_argument("--checkpoint-dir")
+    p_ex.add_argument("overrides", nargs="*", default=[])
+
+    p_pf = sub.add_parser("process-folder")
+    p_pf.add_argument("--images", required=True)
+    p_pf.add_argument("--shapefiles", required=True)
+    p_pf.add_argument("--checkpoint-dir")
+    p_pf.add_argument("overrides", nargs="*", default=[])
+
+    p_syn = sub.add_parser("export-synthetic")
+    p_syn.add_argument("--out", required=True)
+    p_syn.add_argument("--size", type=int, default=512)
+    p_syn.add_argument("--regions", type=int, default=200)
+    p_syn.add_argument("--objects", type=int, default=24)
+    p_syn.add_argument("--seed", type=int, default=0)
+
+    p_cfg = sub.add_parser("config")
+    p_cfg.add_argument("overrides", nargs="*", default=[])
+
+    args = parser.parse_args(argv)
+    cfg = apply_overrides(Config(), getattr(args, "overrides", []))
+
+    if args.cmd == "config":
+        print(cfg.to_json())
+        return 0
+
+    if args.cmd == "export-synthetic":
+        from deepmerge_tpu.geodata.ingest import export_scene
+        from deepmerge_tpu.geodata.synthetic import generate_scene
+
+        scene = generate_scene(
+            h=args.size, w=args.size, n_regions=args.regions,
+            n_objects=args.objects, seed=args.seed,
+        )
+        paths = export_scene(scene, args.out)
+        for k, v in paths.items():
+            print(f"{k}: {v}")
+        return 0
+
+    if args.cmd == "train":
+        import dataclasses
+
+        from deepmerge_tpu.train.driver import train
+
+        if args.epochs is not None:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, num_epochs=args.epochs)
+            )
+        scene = None
+        if args.scene_dir:
+            import os
+
+            from deepmerge_tpu.geodata.ingest import load_scene
+
+            name = args.scene_name
+            scene = load_scene(
+                os.path.join(args.scene_dir, f"{name}.tif"),
+                os.path.join(args.scene_dir, f"{name}.shp"),
+                os.path.join(args.scene_dir, name, "PointsGCS.shp"),
+                os.path.join(args.scene_dir, name, "lines.shp"),
+                name=name,
+            )
+        train(cfg, scene=scene, use_mesh=args.mesh,
+              max_steps_per_epoch=args.max_steps)
+        return 0
+
+    if args.cmd == "extract":
+        from deepmerge_tpu.geodata.ingest import load_scene
+        from deepmerge_tpu.infer.driver import load_params, process_scene
+
+        scene = load_scene(args.image, args.polygons, args.points, args.lines)
+        model, params, bs = load_params(cfg, args.checkpoint_dir)
+        emb, simi, result = process_scene(
+            cfg, scene, model, params, bs,
+            h5_path=args.h5, lines_path=args.lines,
+        )
+        print(f"embedded {emb.shape[0]} points; scored {len(simi)} edges")
+        return 0
+
+    if args.cmd == "process-folder":
+        from deepmerge_tpu.infer.driver import process_folder
+
+        done = process_folder(cfg, args.images, args.shapefiles,
+                              args.checkpoint_dir)
+        print(f"processed {len(done)} scenes")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

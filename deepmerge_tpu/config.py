@@ -160,6 +160,13 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
     for item in overrides:
         key, _, val = item.partition("=")
         section_name, _, field_name = key.partition(".")
+        if not hasattr(out, section_name) or not hasattr(
+            getattr(out, section_name), field_name
+        ):
+            sections = [f.name for f in dataclasses.fields(out)]
+            raise ValueError(
+                f"unknown config key '{key}' (sections: {', '.join(sections)})"
+            )
         section = getattr(out, section_name)
         old = getattr(section, field_name)
         new: Any

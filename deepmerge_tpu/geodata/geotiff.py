@@ -1,0 +1,303 @@
+"""Pure-Python GeoTIFF reader/writer.
+
+The reference reads rasters exclusively through GDAL (``gdal.Open`` +
+windowed ``ReadAsArray``, ``MyUtils1.py:319-323,188``). GDAL is not in this
+image, so this module implements the raster subset the pipeline needs:
+
+  * classic TIFF, little- or big-endian
+  * uint8/uint16/int16/uint32/float32, striped or tiled
+  * compression: none(1), Deflate(8/32946), PackBits(32773), LZW(5)
+  * GeoTIFF geotransform from ModelPixelScale(33550) + ModelTiepoint(33922)
+  * writer: uncompressed striped uint8, with geo tags
+
+The reader exposes GDAL-like windowed access (``read_window``) with the same
+geo→pixel transform the reference applies, including its ``+1`` offset
+(``MyUtils1.py:70-72``).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# TIFF tag ids
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q"}
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (MSB-first codes, early change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    bitpos = 0
+    nbits = 9
+    prev: bytes | None = None
+    total_bits = len(data) * 8
+    while bitpos + nbits <= total_bits and len(out) < expected:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == CLEAR:
+            reset()
+            nbits = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) + 1 >= (1 << nbits) and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _decompress(data: bytes, method: int, expected: int) -> bytes:
+    if method == 1:
+        return data
+    if method in (8, 32946):
+        import zlib
+
+        return zlib.decompress(data)
+    if method == 32773:
+        return _unpackbits(data, expected)
+    if method == 5:
+        return _lzw_decode(data, expected)
+    raise NotImplementedError(f"TIFF compression {method}")
+
+
+@dataclass
+class GeoTiff:
+    """A decoded raster + geotransform (GDAL convention)."""
+
+    array: np.ndarray                       # (H, W, C)
+    geotransform: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def shape(self):
+        return self.array.shape
+
+    def geo_to_pixel(self, x_geo: float, y_geo: float) -> tuple[int, int]:
+        """Reference geo→pixel transform INCLUDING its +1 offset
+        (``MyUtils1.py:70-72``): XPixel = |gt0 − X|/gt1 + 1."""
+        gt = self.geotransform
+        xp = int(abs((gt[0] - x_geo) / gt[1]) + 1)
+        yl = int(abs((gt[3] - y_geo) / gt[5]) + 1)
+        return yl, xp
+
+    def read_window(self, x0: int, y0: int, w: int, h: int) -> np.ndarray:
+        """Boundary-clipped zero-padded window read (``cut_image`` semantics,
+        ``MyUtils1.py:162-200``); returns (h, w, C) of the array dtype."""
+        hh, ww, c = self.array.shape
+        out = np.zeros((h, w, c), self.array.dtype)
+        sx, sy = max(x0, 0), max(y0, 0)
+        ex, ey = min(x0 + w, ww), min(y0 + h, hh)
+        if ex > sx and ey > sy:
+            out[sy - y0 : ey - y0, sx - x0 : ex - x0] = self.array[sy:ey, sx:ex]
+        return out
+
+
+def read_geotiff(path: str) -> GeoTiff:
+    with open(path, "rb") as f:
+        data = f.read()
+    bo = data[:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF")
+    magic, ifd_off = struct.unpack(e + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError(f"{path}: not a classic TIFF (magic {magic})")
+
+    n_entries, = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(e + "HHI", data[off : off + 8])
+        size = _TYPE_SIZES.get(typ, 1) * count
+        if size <= 4:
+            raw = data[off + 8 : off + 8 + size]
+        else:
+            val_off, = struct.unpack(e + "I", data[off + 8 : off + 12])
+            raw = data[val_off : val_off + size]
+        if typ in _TYPE_FMT:
+            tags[tag] = list(struct.unpack(e + _TYPE_FMT[typ] * count, raw))
+        elif typ == 5:  # rational
+            vals = struct.unpack(e + "II" * count, raw)
+            tags[tag] = [vals[2 * j] / max(vals[2 * j + 1], 1) for j in range(count)]
+        else:
+            tags[tag] = [raw]
+
+    w = tags[_IMAGE_WIDTH][0]
+    h = tags[_IMAGE_LENGTH][0]
+    spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+    bps = tags.get(_BITS_PER_SAMPLE, [8])[0]
+    comp = tags.get(_COMPRESSION, [1])[0]
+    fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
+    planar = tags.get(_PLANAR_CONFIG, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if planar != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    dtype = {
+        (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
+        (2, 16): np.int16, (2, 32): np.int32, (3, 32): np.float32,
+    }[(fmt, bps)]
+    dtype = np.dtype(dtype).newbyteorder(e)
+
+    img = np.zeros((h, w, spp), dtype)
+    if _TILE_OFFSETS in tags:
+        tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
+        offs, cnts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
+        tiles_across = -(-w // tw)
+        for ti, (o, cnt) in enumerate(zip(offs, cnts)):
+            raw = _decompress(data[o : o + cnt], comp, tw * tl * spp * dtype.itemsize)
+            tile = np.frombuffer(raw, dtype, tw * tl * spp).reshape(tl, tw, spp)
+            if predictor == 2:
+                tile = np.cumsum(tile.astype(np.int64), axis=1).astype(dtype)
+            ty, tx = (ti // tiles_across) * tl, (ti % tiles_across) * tw
+            img[ty : ty + tl, tx : tx + tw] = tile[
+                : max(0, min(tl, h - ty)), : max(0, min(tw, w - tx))
+            ]
+    else:
+        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        offs, cnts = tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]
+        row = 0
+        for o, cnt in zip(offs, cnts):
+            nrows = min(rps, h - row)
+            raw = _decompress(data[o : o + cnt], comp, nrows * w * spp * dtype.itemsize)
+            strip = np.frombuffer(raw, dtype, nrows * w * spp).reshape(nrows, w, spp)
+            if predictor == 2:
+                strip = np.cumsum(strip.astype(np.int64), axis=1).astype(dtype)
+            img[row : row + nrows] = strip
+            row += nrows
+
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:
+        sx, sy = tags[_MODEL_PIXEL_SCALE][0], tags[_MODEL_PIXEL_SCALE][1]
+        tp = tags[_MODEL_TIEPOINT]
+        # tiepoint: (i, j, k, X, Y, Z) — pixel (i, j) sits at geo (X, Y)
+        origin_x = tp[3] - tp[0] * sx
+        origin_y = tp[4] + tp[1] * sy
+        gt = (origin_x, sx, 0.0, origin_y, 0.0, -sy)
+    return GeoTiff(array=np.ascontiguousarray(img), geotransform=gt,
+                   meta={"compression": comp})
+
+
+def write_geotiff(
+    path: str,
+    array: np.ndarray,
+    geotransform: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+) -> None:
+    """Write an uncompressed striped uint8 GeoTIFF (little-endian)."""
+    if array.ndim == 2:
+        array = array[..., None]
+    assert array.dtype == np.uint8, "writer supports uint8"
+    h, w, c = array.shape
+    pixel_data = np.ascontiguousarray(array).tobytes()
+
+    gt = geotransform
+    scale = struct.pack("<3d", gt[1], -gt[5], 0.0)
+    tiepoint = struct.pack("<6d", 0, 0, 0, gt[0], gt[3], 0)
+
+    entries = []  # (tag, type, count, value_bytes_or_int)
+    header_size = 8
+    # layout: header | IFD | out-of-line values | pixel data
+    ifd_entries = 11
+    ifd_size = 2 + ifd_entries * 12 + 4
+    extra: list[bytes] = []
+    extra_off = header_size + ifd_size
+
+    def add_extra(b: bytes) -> int:
+        nonlocal extra_off
+        off = extra_off
+        extra.append(b)
+        extra_off += len(b)
+        return off
+
+    bps_off = add_extra(struct.pack(f"<{c}H", *([8] * c))) if c > 2 else None
+    scale_off = add_extra(scale)
+    tie_off = add_extra(tiepoint)
+    data_off = extra_off
+
+    def entry(tag, typ, count, value) -> bytes:
+        if typ == 3 and count == 1:
+            return struct.pack("<HHIHH", tag, typ, count, value, 0)
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    e = [
+        entry(_IMAGE_WIDTH, 4, 1, w),
+        entry(_IMAGE_LENGTH, 4, 1, h),
+        entry(_BITS_PER_SAMPLE, 3, c, bps_off if c > 2 else (8 | (8 << 16) if c == 2 else 8)),
+        entry(_COMPRESSION, 3, 1, 1),
+        entry(_PHOTOMETRIC, 3, 1, 2 if c >= 3 else 1),
+        entry(_STRIP_OFFSETS, 4, 1, data_off),
+        entry(_SAMPLES_PER_PIXEL, 3, 1, c),
+        entry(_ROWS_PER_STRIP, 4, 1, h),
+        entry(_STRIP_BYTE_COUNTS, 4, 1, len(pixel_data)),
+        entry(_MODEL_PIXEL_SCALE, 12, 3, scale_off),
+        entry(_MODEL_TIEPOINT, 12, 6, tie_off),
+    ]
+    assert len(e) == ifd_entries
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, 8))
+        f.write(struct.pack("<H", ifd_entries))
+        f.write(b"".join(e))
+        f.write(struct.pack("<I", 0))
+        for b in extra:
+            f.write(b)
+        f.write(pixel_data)

@@ -1,0 +1,224 @@
+"""Real-data ingestion: shapefiles + GeoTIFF → Scene.
+
+Follows the reference's data conventions exactly (SURVEY.md §2.1 #2/#3):
+
+  * ``<scene>.tif`` — the raster (``MyUtils1.py:248-252``)
+  * ``<scene>.shp`` — polygon layer with the 15 designed-feature fields
+    (``MyUtils1.py:79-114``) and a ``PointID`` space-separated sample-point
+    mapping (``MyUtils1.py:266-272``)
+  * ``<scene>/PointsGCS.shp`` — point layer in geo coords with ``inner`` /
+    ``object`` scale fields (``MyUtils1.py:64-65``); pixel centers use the
+    reference's geo→pixel transform incl. its +1 (``MyUtils1.py:70-72``)
+  * ``<scene>/lines.shp`` — RAG edges via ``LEFT_FID``/``RIGHT_FID``
+    (``MyUtils2.py:177-193``)
+
+Also the reverse path: write a Scene out as this exact layout (used to
+round-trip tests and to export synthetic data for the reference pipeline),
+and the ``simi`` write-back (``ExtractFeatures.py:182-219``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from deepmerge_tpu.geodata.geotiff import read_geotiff, write_geotiff
+from deepmerge_tpu.geodata.shapefile import (
+    DbfField,
+    Shape,
+    ShapefileTable,
+    SHP_POINT,
+    SHP_POLYGON,
+    SHP_POLYLINE,
+)
+from deepmerge_tpu.geodata.types import (
+    DESIGNED_FEATURE_NAMES,
+    EdgeList,
+    RegionTable,
+    Scene,
+)
+
+
+def load_scene(
+    image_path: str,
+    polygon_path: str,
+    points_path: str,
+    lines_path: str | None = None,
+    labels: np.ndarray | None = None,
+    name: str | None = None,
+) -> Scene:
+    """Assemble a Scene from the reference's file layout."""
+    tif = read_geotiff(image_path)
+    polys = ShapefileTable.read(polygon_path)
+    pts = ShapefileTable.read(points_path)
+
+    r = len(polys)
+    features = np.zeros((r, len(DESIGNED_FEATURE_NAMES)), np.float32)
+    for j, fname in enumerate(DESIGNED_FEATURE_NAMES):
+        if fname in polys.field_names():
+            col = polys.get_field(fname)
+            features[:, j] = [0.0 if v is None else float(v) for v in col]
+
+    # polygon -> sample point ids ("PointID" space-separated field)
+    point_ids_per_poly = [
+        [int(t) for t in str(v).split(" ") if t not in ("", "None")]
+        for v in polys.get_field("PointID")
+    ]
+    point_region = np.full(len(pts), -1, np.int32)
+    for rid, ids in enumerate(point_ids_per_poly):
+        for pid in ids:
+            point_region[pid] = rid
+
+    inner = np.asarray(
+        [int(v) for v in pts.get_field("inner")], np.int32
+    )
+    obj = np.asarray([int(v) for v in pts.get_field("object")], np.int32)
+
+    centers = np.zeros((len(pts), 2), np.int32)
+    for i, s in enumerate(pts.shapes):
+        y, x = tif.geo_to_pixel(s.x, s.y)
+        centers[i] = (y, x)
+
+    # region-level inner/object: take each region's first sample point's
+    # fields (the reference stores them per point; they are per-region values)
+    r_inner = np.full(r, 8, np.int32)
+    r_obj = np.full(r, 16, np.int32)
+    for rid, ids in enumerate(point_ids_per_poly):
+        if ids:
+            r_inner[rid] = inner[ids[0]]
+            r_obj[rid] = obj[ids[0]]
+
+    keep = point_region >= 0
+    regions = RegionTable(
+        features=features,
+        inner=r_inner,
+        object_=r_obj,
+        points_yx=centers[keep],
+        point_region=point_region[keep],
+    )
+
+    edges = np.zeros((0, 2), np.int32)
+    if lines_path and os.path.exists(lines_path):
+        lines = ShapefileTable.read(lines_path)
+        lf = lines.get_field("LEFT_FID")
+        rf = lines.get_field("RIGHT_FID")
+        pairs = [
+            (int(a), int(b))
+            for a, b in zip(lf, rf)
+            if a is not None and b is not None and int(a) >= 0 and int(b) >= 0
+        ]
+        edges = np.asarray(pairs, np.int32).reshape(-1, 2)
+
+    if labels is None:
+        labels = np.zeros(tif.array.shape[:2], np.int32)
+    return Scene(
+        image=np.ascontiguousarray(tif.array[..., :3]).astype(np.uint8),
+        labels=labels,
+        regions=regions,
+        rag=EdgeList(edges=edges),
+        name=name or os.path.splitext(os.path.basename(image_path))[0],
+        meta={"geotransform": tif.geotransform},
+    )
+
+
+def write_simi(lines_path: str, simi: np.ndarray) -> None:
+    """Write scored distances into lines.shp's ``simi`` real field
+    (``ExtractFeatures.py:182-186,216-219``)."""
+    lines = ShapefileTable.read(lines_path)
+    lines.add_field(DbfField("simi", "F", 19, 6))
+    k = 0
+    lf = lines.get_field("LEFT_FID")
+    rf = lines.get_field("RIGHT_FID")
+    for i in range(len(lines)):
+        if lf[i] is not None and rf[i] is not None and int(lf[i]) >= 0 and int(rf[i]) >= 0:
+            lines.set_field(i, "simi", float(simi[k]))
+            k += 1
+    lines.save(lines_path)
+
+
+def export_scene(scene: Scene, out_dir: str) -> dict[str, str]:
+    """Write a Scene as the reference's file layout (tif + shp trio)."""
+    os.makedirs(out_dir, exist_ok=True)
+    sub = os.path.join(out_dir, scene.name)
+    os.makedirs(sub, exist_ok=True)
+    gt = scene.meta.get("geotransform", (0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+
+    image_path = os.path.join(out_dir, f"{scene.name}.tif")
+    write_geotiff(image_path, scene.image, gt)
+
+    reg = scene.regions
+    # point layer (geo coords inverted through the reference transform)
+    pt_shapes, pt_records = [], []
+    for i in range(reg.num_points):
+        y, x = reg.points_yx[i]
+        # the reference's abs()+1 geo→pixel transform (MyUtils1.py:70-72)
+        # cannot represent pixel row/col 0 — clamp border points to 1
+        gx = gt[0] + (max(int(x), 1) - 1) * gt[1]
+        gy = gt[3] + (max(int(y), 1) - 1) * gt[5]
+        pt_shapes.append(Shape(SHP_POINT, np.array([[gx, gy]], np.float64)))
+        rid = int(reg.point_region[i])
+        pt_records.append(
+            {"inner": int(reg.inner[rid]), "object": int(reg.object_[rid])}
+        )
+    pts = ShapefileTable(
+        SHP_POINT, pt_shapes,
+        [DbfField("inner", "N", 10), DbfField("object", "N", 10)],
+        pt_records,
+    )
+    points_path = os.path.join(sub, "PointsGCS.shp")
+    pts.save(points_path)
+
+    # polygon layer: bbox placeholder geometry + designed features + PointID
+    fields = [DbfField(n, "F", 19, 6) for n in DESIGNED_FEATURE_NAMES]
+    fields.append(DbfField("PointID", "C", 254))
+    poly_shapes, poly_records = [], []
+    pts_of = [[] for _ in range(reg.num_regions)]
+    for i, rid in enumerate(reg.point_region):
+        pts_of[int(rid)].append(i)
+    for rid in range(reg.num_regions):
+        ys, xs = np.where(scene.labels == rid)
+        if len(ys):
+            box = [
+                (xs.min(), ys.min()), (xs.max() + 1, ys.min()),
+                (xs.max() + 1, ys.max() + 1), (xs.min(), ys.max() + 1),
+                (xs.min(), ys.min()),
+            ]
+        else:
+            box = [(0, 0)] * 5
+        ring = np.array(
+            [[gt[0] + (x - 1) * gt[1], gt[3] + (y - 1) * gt[5]] for x, y in box],
+            np.float64,
+        )
+        poly_shapes.append(Shape(SHP_POLYGON, ring, np.array([0], np.int32)))
+        rec = {
+            n: float(scene.regions.features[rid, j])
+            for j, n in enumerate(DESIGNED_FEATURE_NAMES)
+        }
+        rec["PointID"] = " ".join(str(p) for p in pts_of[rid])
+        poly_records.append(rec)
+    polys = ShapefileTable(SHP_POLYGON, poly_shapes, fields, poly_records)
+    polygon_path = os.path.join(out_dir, f"{scene.name}.shp")
+    polys.save(polygon_path)
+
+    # RAG lines layer
+    line_shapes, line_records = [], []
+    for a, b in scene.rag.edges:
+        line_shapes.append(
+            Shape(SHP_POLYLINE, np.zeros((2, 2), np.float64), np.array([0], np.int32))
+        )
+        line_records.append({"LEFT_FID": int(a), "RIGHT_FID": int(b)})
+    lines = ShapefileTable(
+        SHP_POLYLINE, line_shapes,
+        [DbfField("LEFT_FID", "N", 10), DbfField("RIGHT_FID", "N", 10)],
+        line_records,
+    )
+    lines_path = os.path.join(sub, "lines.shp")
+    lines.save(lines_path)
+
+    return {
+        "image": image_path,
+        "polygons": polygon_path,
+        "points": points_path,
+        "lines": lines_path,
+    }

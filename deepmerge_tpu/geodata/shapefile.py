@@ -1,0 +1,285 @@
+"""Pure-Python ESRI Shapefile reader/writer (.shp/.shx/.dbf).
+
+The reference consumes vectors exclusively through OGR's shapefile driver
+(``MyUtils1.py:309-317``): point layers with ``inner``/``object`` scale
+fields, polygon layers with designed-feature attributes and a ``PointID``
+mapping, and ``lines.shp`` RAG layers whose ``LEFT_FID``/``RIGHT_FID`` pairs
+it reads and whose ``simi`` real field it writes back
+(``ExtractFeatures.py:182-186,217-219``). GDAL is not available in this
+image, so this module implements the subset of the format the pipeline
+needs, natively in Python:
+
+  * shapes: Point(1), PolyLine(3), Polygon(5) — read and write
+  * attributes: dBase III (C character, N/F numeric, L logical) — read,
+    write, add-field + value write-back (full .dbf rewrite, as adding a
+    field changes the record layout)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SHP_POINT = 1
+SHP_POLYLINE = 3
+SHP_POLYGON = 5
+
+_SHAPE_NAMES = {SHP_POINT: "point", SHP_POLYLINE: "polyline", SHP_POLYGON: "polygon"}
+
+
+@dataclass
+class DbfField:
+    name: str
+    type: str         # 'C', 'N', 'F', 'L'
+    length: int
+    decimals: int = 0
+
+
+@dataclass
+class Shape:
+    shape_type: int
+    points: np.ndarray                  # (N, 2) float64 (x, y)
+    parts: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int32))
+
+    @property
+    def x(self) -> float:
+        return float(self.points[0, 0])
+
+    @property
+    def y(self) -> float:
+        return float(self.points[0, 1])
+
+
+class ShapefileTable:
+    """A shapefile layer: shapes + attribute records, round-trippable."""
+
+    def __init__(
+        self,
+        shape_type: int,
+        shapes: list[Shape],
+        fields: list[DbfField],
+        records: list[dict],
+    ):
+        self.shape_type = shape_type
+        self.shapes = shapes
+        self.fields = fields
+        self.records = records
+
+    def __len__(self) -> int:
+        return len(self.shapes)
+
+    def get_field(self, name: str) -> list:
+        return [r[name] for r in self.records]
+
+    def field_names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def add_field(self, f: DbfField, default=None) -> None:
+        """OGR CreateField equivalent (``ExtractFeatures.py:184-186``)."""
+        if f.name in self.field_names():
+            return
+        self.fields.append(f)
+        fill = default
+        if fill is None:
+            fill = "" if f.type == "C" else (False if f.type == "L" else 0)
+        for r in self.records:
+            r[f.name] = fill
+
+    def set_field(self, index: int, name: str, value) -> None:
+        self.records[index][name] = value
+
+    # -- IO -------------------------------------------------------------
+
+    @staticmethod
+    def read(path: str) -> "ShapefileTable":
+        base, _ = os.path.splitext(path)
+        shape_type, shapes = _read_shp(base + ".shp")
+        fields, records = _read_dbf(base + ".dbf")
+        return ShapefileTable(shape_type, shapes, fields, records)
+
+    def save(self, path: str) -> None:
+        base, _ = os.path.splitext(path)
+        _write_shp(base + ".shp", base + ".shx", self.shape_type, self.shapes)
+        _write_dbf(base + ".dbf", self.fields, self.records)
+
+
+# ---------------------------------------------------------------------------
+# .shp / .shx
+# ---------------------------------------------------------------------------
+
+def _bbox(shapes: list[Shape]) -> tuple[float, float, float, float]:
+    if not shapes or all(len(s.points) == 0 for s in shapes):
+        return (0.0, 0.0, 0.0, 0.0)
+    allp = np.concatenate([s.points for s in shapes if len(s.points)])
+    return (
+        float(allp[:, 0].min()), float(allp[:, 1].min()),
+        float(allp[:, 0].max()), float(allp[:, 1].max()),
+    )
+
+
+def _read_shp(path: str) -> tuple[int, list[Shape]]:
+    with open(path, "rb") as f:
+        data = f.read()
+    code, = struct.unpack(">i", data[0:4])
+    if code != 9994:
+        raise ValueError(f"{path}: not a shapefile (code {code})")
+    file_len_words, = struct.unpack(">i", data[24:28])
+    shape_type, = struct.unpack("<i", data[32:36])
+    shapes: list[Shape] = []
+    off = 100
+    end = file_len_words * 2
+    while off < end:
+        _recno, content_words = struct.unpack(">ii", data[off : off + 8])
+        off += 8
+        rec = data[off : off + content_words * 2]
+        off += content_words * 2
+        stype, = struct.unpack("<i", rec[0:4])
+        if stype == 0:  # null shape
+            shapes.append(Shape(0, np.zeros((0, 2))))
+        elif stype == SHP_POINT:
+            x, y = struct.unpack("<dd", rec[4:20])
+            shapes.append(Shape(stype, np.array([[x, y]])))
+        elif stype in (SHP_POLYLINE, SHP_POLYGON):
+            nparts, npoints = struct.unpack("<ii", rec[36:44])
+            parts = np.frombuffer(rec, "<i4", nparts, 44)
+            pts = np.frombuffer(rec, "<f8", npoints * 2, 44 + nparts * 4)
+            shapes.append(Shape(stype, pts.reshape(-1, 2).copy(), parts.copy()))
+        else:
+            raise NotImplementedError(f"shape type {stype}")
+    return shape_type, shapes
+
+
+def _shape_record_bytes(s: Shape) -> bytes:
+    if s.shape_type == 0 or len(s.points) == 0:
+        return struct.pack("<i", 0)
+    if s.shape_type == SHP_POINT:
+        return struct.pack("<idd", SHP_POINT, s.points[0, 0], s.points[0, 1])
+    pts = np.asarray(s.points, "<f8")
+    parts = np.asarray(s.parts, "<i4")
+    box = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+    return (
+        struct.pack("<i4dii", s.shape_type, *box, len(parts), len(pts))
+        + parts.tobytes()
+        + pts.tobytes()
+    )
+
+
+def _write_shp(shp_path: str, shx_path: str, shape_type: int, shapes: list[Shape]):
+    recs = [_shape_record_bytes(s) for s in shapes]
+    total = 100 + sum(8 + len(r) for r in recs)
+    xmin, ymin, xmax, ymax = _bbox(shapes)
+
+    def header(length_bytes: int) -> bytes:
+        return (
+            struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, length_bytes // 2)
+            + struct.pack("<ii", 1000, shape_type)
+            + struct.pack("<4d", xmin, ymin, xmax, ymax)
+            + struct.pack("<4d", 0, 0, 0, 0)
+        )
+
+    with open(shp_path, "wb") as f:
+        f.write(header(total))
+        for i, r in enumerate(recs):
+            f.write(struct.pack(">ii", i + 1, len(r) // 2))
+            f.write(r)
+    with open(shx_path, "wb") as f:
+        f.write(header(100 + 8 * len(recs)))
+        off = 100
+        for r in recs:
+            f.write(struct.pack(">ii", off // 2, len(r) // 2))
+            off += 8 + len(r)
+
+
+# ---------------------------------------------------------------------------
+# .dbf (dBase III)
+# ---------------------------------------------------------------------------
+
+def _read_dbf(path: str) -> tuple[list[DbfField], list[dict]]:
+    with open(path, "rb") as f:
+        data = f.read()
+    n_records, header_size, record_size = struct.unpack("<IHH", data[4:12])
+    fields: list[DbfField] = []
+    off = 32
+    while data[off] != 0x0D:
+        name = data[off : off + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(data[off + 11])
+        length = data[off + 16]
+        decimals = data[off + 17]
+        fields.append(DbfField(name, ftype, length, decimals))
+        off += 32
+    records: list[dict] = []
+    off = header_size
+    for _ in range(n_records):
+        deleted = data[off : off + 1] == b"*"
+        off += 1
+        rec: dict = {}
+        for fld in fields:
+            raw = data[off : off + fld.length]
+            off += fld.length
+            txt = raw.decode("ascii", "replace").strip()
+            if fld.type == "C":
+                rec[fld.name] = txt
+            elif fld.type in ("N", "F"):
+                if txt in ("", "*" * len(txt)):
+                    rec[fld.name] = None
+                elif fld.decimals or fld.type == "F" or "." in txt or "e" in txt.lower():
+                    rec[fld.name] = float(txt)
+                else:
+                    rec[fld.name] = int(txt)
+            elif fld.type == "L":
+                rec[fld.name] = txt.upper() in ("T", "Y")
+            else:
+                rec[fld.name] = txt
+        if not deleted:
+            records.append(rec)
+    return fields, records
+
+
+def _format_value(fld: DbfField, value) -> bytes:
+    if fld.type == "C":
+        s = ("" if value is None else str(value))[: fld.length]
+        return s.ljust(fld.length).encode("ascii", "replace")
+    if fld.type == "L":
+        return (b"T" if value else b"F").ljust(fld.length)
+    if value is None:
+        return b" " * fld.length
+    if fld.decimals:
+        s = f"{float(value):.{fld.decimals}f}"
+    else:
+        s = str(int(value))
+    if len(s) > fld.length:
+        s = s[: fld.length]
+    return s.rjust(fld.length).encode("ascii")
+
+
+def _write_dbf(path: str, fields: list[DbfField], records: list[dict]):
+    record_size = 1 + sum(f.length for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    now = _dt.date.today()
+    with open(path, "wb") as f:
+        f.write(
+            struct.pack(
+                "<BBBBIHH20x",
+                0x03, now.year - 1900, now.month, now.day,
+                len(records), header_size, record_size,
+            )
+        )
+        for fld in fields:
+            f.write(
+                struct.pack(
+                    "<11sc4xBB14x",
+                    fld.name.encode("ascii")[:11],
+                    fld.type.encode("ascii"),
+                    fld.length, fld.decimals,
+                )
+            )
+        f.write(b"\x0d")
+        for rec in records:
+            f.write(b" ")
+            for fld in fields:
+                f.write(_format_value(fld, rec.get(fld.name)))
+        f.write(b"\x1a")

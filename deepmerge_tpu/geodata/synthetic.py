@@ -140,6 +140,7 @@ def generate_scene(
     # (external) scale-estimation tool the reference assumes ran upstream.
     y_min, y_max, x_min, x_max = bbox
     extent = np.maximum(y_max - y_min, x_max - x_min) + 1
+    extent = np.where(np.isfinite(extent), extent, 8.0)  # empty regions
     inner = np.clip(np.sqrt(area).astype(np.int32), 4, 160)
     object_scale = np.clip(extent.astype(np.int32), inner + 2, 224)
 

@@ -1,0 +1,125 @@
+"""Inference drivers: per-scene extraction + scoring + merge, and the
+multi-scene batch walk (reference ``Extract_featrues_from_multi_files``,
+``ExtractFeatures.py:241-303`` and ``test_for_shp``, ``:150-225``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from deepmerge_tpu.config import Config
+from deepmerge_tpu.geodata.types import Scene
+from deepmerge_tpu.infer.extract import FeatureExtractor, FeatureStore
+from deepmerge_tpu.infer.merge import MergeResult, merge_scene
+from deepmerge_tpu.infer.scoring import score_scene_edges
+from deepmerge_tpu.models.s2former import build_model, init_params
+from deepmerge_tpu.utils.profiling import Timings, phase_timer
+
+
+def load_params(cfg: Config, checkpoint_path: Optional[str] = None):
+    """Params from a checkpoint, or fresh init when none exists yet."""
+    model = build_model(cfg.model)
+    variables = init_params(model, jax.random.key(0))
+    params, batch_stats = variables["params"], variables.get("batch_stats")
+    if checkpoint_path:
+        from deepmerge_tpu.train.checkpoint import CheckpointManager
+        from deepmerge_tpu.train.loop import create_train_state
+
+        state = create_train_state(model, cfg, jax.random.key(0))
+        mgr = CheckpointManager(checkpoint_path, cfg)
+        state, _, _ = mgr.restore(state)
+        params, batch_stats = state.params, state.batch_stats
+    return model, params, batch_stats
+
+
+def process_scene(
+    cfg: Config,
+    scene: Scene,
+    model=None,
+    params=None,
+    batch_stats=None,
+    h5_path: Optional[str] = None,
+    lines_path: Optional[str] = None,
+    do_merge: bool = True,
+    timings: Optional[Timings] = None,
+    log_fn=print,
+) -> tuple[np.ndarray, np.ndarray, Optional[MergeResult]]:
+    """Extract → score → (merge) one scene.
+
+    Returns (point_embeddings, edge_simi, merge_result). Optionally streams
+    embeddings into an HDF5 store (the reference's per-scene .h5,
+    ``ExtractFeatures.py:286``) and writes ``simi`` back into lines.shp.
+    """
+    if model is None:
+        model, params, batch_stats = load_params(cfg)
+    timings = timings or Timings()
+
+    extractor = FeatureExtractor(
+        model, params, batch_stats, batch_size=cfg.data.eval_batch_size
+    )
+    store = FeatureStore(h5_path) if h5_path else None
+    with phase_timer(timings, "extract"):
+        emb = extractor.extract_scene(scene, cfg.data, store)
+    if store is not None:
+        store.close()
+
+    with phase_timer(timings, "score"):
+        simi = score_scene_edges(scene, emb, cfg.merge.edge_batch)
+
+    if lines_path and os.path.exists(lines_path):
+        from deepmerge_tpu.geodata.ingest import write_simi
+
+        write_simi(lines_path, simi)
+
+    result = None
+    if do_merge:
+        with phase_timer(timings, "merge"):
+            result = merge_scene(
+                scene, emb,
+                threshold=cfg.merge.threshold,
+                max_rounds=cfg.merge.max_rounds,
+                edge_batch=cfg.merge.edge_batch,
+            )
+        log_fn(
+            f"{scene.name}: {scene.regions.num_regions} regions -> "
+            f"{result.num_clusters} objects in {result.rounds} rounds "
+            f"({timings.summary()})"
+        )
+    return emb, simi, result
+
+
+def process_folder(
+    cfg: Config,
+    image_folder: str,
+    shp_folder: str,
+    checkpoint_path: Optional[str] = None,
+    log_fn=print,
+) -> list[str]:
+    """Walk per-scene shapefile folders like the reference's multi-scene
+    driver (``ExtractFeatures.py:241-303``): each subfolder holds
+    PointsGCS.shp (+ lines.shp), the raster is ``<folder>.tif``."""
+    from deepmerge_tpu.geodata.ingest import load_scene
+
+    model, params, batch_stats = load_params(cfg, checkpoint_path)
+    done = []
+    for entry in sorted(os.listdir(shp_folder)):
+        sub = os.path.join(shp_folder, entry)
+        points = os.path.join(sub, "PointsGCS.shp")
+        if not os.path.isdir(sub) or not os.path.exists(points):
+            continue
+        image = os.path.join(image_folder, f"{entry}.tif")
+        polygons = os.path.join(shp_folder, f"{entry}.shp")
+        lines = os.path.join(sub, "lines.shp")
+        scene = load_scene(image, polygons, points, lines, name=entry)
+        h5 = os.path.join(sub, f"{cfg.model.name}_features.h5")
+        log_fn(f"processing {entry} ({scene.regions.num_points} points)")
+        process_scene(
+            cfg, scene, model, params, batch_stats,
+            h5_path=h5, lines_path=lines, log_fn=log_fn,
+        )
+        done.append(entry)
+    return done

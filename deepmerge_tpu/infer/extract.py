@@ -19,6 +19,7 @@ import numpy as np
 
 from deepmerge_tpu.config import DataConfig
 from deepmerge_tpu.geodata.types import Scene
+from deepmerge_tpu.ops.patches import extract_multiscale_patches
 from deepmerge_tpu.train.sampler import DeviceScene, point_batch, stage_scene
 
 try:
@@ -82,21 +83,65 @@ class FeatureStore:
 
 
 class FeatureExtractor:
-    """Embeds every sample point of a scene (``extract_features``, ref :45-86)."""
+    """Embeds every sample point of a scene (``extract_features``, ref :45-86).
 
-    def __init__(self, model, params, batch_stats=None, batch_size: int = 2000):
+    The whole per-batch pipeline — window gather, crop+INTER_AREA resize,
+    designed-vector assembly, model forward — is ONE jitted program, so XLA
+    overlaps the HBM gathers with the MXU matmuls and the intermediate patch
+    tensors never round-trip through HBM between programs.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        batch_stats=None,
+        batch_size: int = 2000,
+        cast_params: bool = True,
+    ):
         self.model = model
+        dtype = jnp.dtype(model.cfg.dtype)
+        if cast_params and dtype != jnp.float32:
+            # one-time weight cast: halves weight reads per forward
+            params = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                params,
+            )
         self.params = params
         self.batch_stats = batch_stats or {}
         self.batch_size = batch_size
+        has_bs = bool(self.batch_stats)
+        mcfg = model.cfg
 
-        def fwd(patches, designed):
-            variables = {"params": self.params}
-            if self.batch_stats:
-                variables["batch_stats"] = self.batch_stats
+        # params are explicit jit arguments (NOT closure constants — that
+        # would bake ~100MB of weights into the HLO)
+        def fwd(params, batch_stats, patches, designed):
+            variables = {"params": params}
+            if has_bs:
+                variables["batch_stats"] = batch_stats
             return self.model.apply(variables, patches, designed, False)
 
-        self._fwd = jax.jit(fwd)
+        jitted_fwd = jax.jit(fwd)
+        self._fwd = lambda patches, designed: jitted_fwd(
+            self.params, self.batch_stats, patches, designed
+        )
+
+        def fused(params, batch_stats, padded, centers, scales, factors, feats,
+                  caps, quantize):
+            patches = extract_multiscale_patches(
+                padded, centers, scales,
+                patch_sizes=tuple(mcfg.input_image_scales),
+                caps=caps, quantize_uint8=quantize,
+            )
+            designed = jnp.concatenate([feats, factors], axis=1)
+            variables = {"params": params}
+            if has_bs:
+                variables["batch_stats"] = batch_stats
+            return self.model.apply(variables, patches, designed, False)
+
+        self._fused = jax.jit(fused, static_argnames=("caps", "quantize"))
 
     def extract_scene(
         self,
@@ -106,17 +151,30 @@ class FeatureExtractor:
         device_scene: Optional[DeviceScene] = None,
     ) -> np.ndarray:
         """Embed all sample points; returns (P, out_dim) float32 (host)."""
+        from deepmerge_tpu.ops.patches import adaptive_scales
+
         ds = device_scene or stage_scene(scene, cfg)
         n = ds.points_yx.shape[0]
         bs = self.batch_size
+        targets = tuple(cfg.patch_sizes) + (1,) * (
+            cfg.factor_slots - len(cfg.patch_sizes)
+        )
         out = []
         for start in range(0, n, bs):
             idx = np.arange(start, min(start + bs, n))
             pad = bs - len(idx)
             if pad:  # pad to the compiled batch shape, drop after
                 idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-            patches, designed = point_batch(ds, idx, cfg)
-            emb = np.asarray(self._fwd(patches, designed), np.float32)
+            scales, factors = adaptive_scales(
+                ds.point_inner[idx], ds.point_object[idx], targets
+            )
+            emb = self._fused(
+                self.params, self.batch_stats, ds.padded,
+                jnp.asarray(ds.points_yx[idx]), scales, factors,
+                jnp.asarray(ds.point_features[idx], jnp.float32),
+                caps=ds.caps, quantize=cfg.quantize_uint8,
+            )
+            emb = np.asarray(emb, np.float32)
             if pad:
                 emb = emb[: bs - pad]
             if store is not None:

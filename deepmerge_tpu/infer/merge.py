@@ -116,9 +116,11 @@ class MergeEngine:
             if len(cur_edges) == 0:
                 rounds -= 1
                 break
-            # device: cluster embeddings + edge scores
+            # device: cluster embeddings + edge scores. num_segments stays
+            # pinned at the initial region count so every round reuses ONE
+            # compiled segment-mean kernel (cluster ids are always < R).
             pt_cluster = cur_labels[point_region]
-            cemb = region_embeddings(point_embeddings, pt_cluster, n_clusters)
+            cemb = region_embeddings(point_embeddings, pt_cluster, num_regions)
             d = score_edges(cemb, cur_edges, self.edge_batch)
             total_scored += len(cur_edges)
 

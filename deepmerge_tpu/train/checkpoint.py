@@ -1,0 +1,104 @@
+"""Checkpoint / resume (orbax).
+
+Same logical contents and cadence as the reference's ``torch.save`` dict
+``{net, optimizer, epoch, time, scales, depth, name}`` every 5 epochs and
+every epoch ≥ 90 (``Train_SMT.py:317-343``); resume restores params +
+optimizer state and continues from ``epoch + 1`` (``:163-175``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from deepmerge_tpu.config import Config
+from deepmerge_tpu.train.loop import TrainState
+
+
+def should_checkpoint(epoch: int, cfg: Config) -> bool:
+    """Reference cadence: (epoch+1) % 5 == 0 or epoch+1 >= 90."""
+    t = cfg.train
+    return (epoch + 1) % t.checkpoint_every == 0 or (
+        epoch + 1 >= t.checkpoint_tail_from
+    )
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, cfg: Config):
+        self.directory = os.path.abspath(directory)
+        self.cfg = cfg
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, epoch: int) -> str:
+        # model-name-stamped directory, analog of the reference's
+        # date+name-stamped filename (Train_SMT.py:317-325)
+        return os.path.join(
+            self.directory, f"{self.cfg.model.name}_epoch{epoch + 1:04d}"
+        )
+
+    def save(self, state: TrainState, epoch: int, elapsed: float = 0.0) -> str:
+        path = self._path(epoch)
+        payload = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "step": np.asarray(state.step),
+        }
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
+        meta = {
+            "epoch": epoch,
+            "time": elapsed,
+            "scales": list(self.cfg.model.input_image_scales),
+            "depth": list(self.cfg.model.depth),
+            "name": self.cfg.model.name,
+            "config": json.loads(self.cfg.to_json()),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return path
+
+    def latest_path(self) -> Optional[str]:
+        if not os.path.isdir(self.directory):
+            return None
+        cands = sorted(
+            d for d in os.listdir(self.directory)
+            if os.path.isdir(os.path.join(self.directory, d))
+            and os.path.exists(os.path.join(self.directory, d, "meta.json"))
+        )
+        return os.path.join(self.directory, cands[-1]) if cands else None
+
+    def restore(self, state: TrainState, path: Optional[str] = None) -> tuple[TrainState, int, float]:
+        """Returns (state, start_epoch, elapsed). Raises past the final epoch
+        like the reference (``Train_SMT.py:174-175``)."""
+        path = path or self.latest_path()
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "step": np.asarray(state.step),
+        }
+        payload = self._ckptr.restore(path, template)
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        epoch = int(meta["epoch"])
+        if epoch + 1 >= self.cfg.train.num_epochs:
+            raise ValueError(
+                f"checkpoint epoch {epoch} is at/past num_epochs "
+                f"{self.cfg.train.num_epochs}"
+            )
+        state = state.replace(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            batch_stats=payload["batch_stats"],
+            step=payload["step"],
+        )
+        return state, epoch + 1, float(meta.get("time", 0.0))

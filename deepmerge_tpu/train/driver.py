@@ -1,0 +1,92 @@
+"""Top-level training driver (reference ``Train_SMT.train``/``main``,
+``Train_SMT.py:143-394``) wired TPU-first: device-resident scene, fresh
+per-epoch sampling keys instead of dataset rebuilds, GSPMD data parallelism,
+orbax checkpoints at the reference cadence, loss-history logging.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from deepmerge_tpu.config import Config
+from deepmerge_tpu.geodata.synthetic import generate_scene, make_training_pairs
+from deepmerge_tpu.geodata.types import Scene
+from deepmerge_tpu.models.s2former import build_model
+from deepmerge_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from deepmerge_tpu.train.callbacks import LossHistory
+from deepmerge_tpu.train.checkpoint import CheckpointManager, should_checkpoint
+from deepmerge_tpu.train.loop import create_train_state, make_train_step, train_epoch
+from deepmerge_tpu.train.sampler import PairSampler
+
+
+def train(
+    cfg: Config,
+    scene: Optional[Scene] = None,
+    pos_pairs: Optional[np.ndarray] = None,
+    neg_pairs: Optional[np.ndarray] = None,
+    use_mesh: bool = False,
+    max_steps_per_epoch: Optional[int] = None,
+    log_fn=print,
+):
+    """Train the configured model; returns (state, history)."""
+    if scene is None:
+        scene = generate_scene(seed=cfg.train.seed)
+    if pos_pairs is None or neg_pairs is None:
+        pos_pairs, neg_pairs = make_training_pairs(scene)
+
+    model = build_model(cfg.model)
+    sampler = PairSampler(scene, pos_pairs, neg_pairs, cfg.data)
+    steps_per_epoch = max(len(sampler) // cfg.data.batch_size, 1)
+    state = create_train_state(
+        model, cfg, jax.random.key(cfg.train.seed), steps_per_epoch
+    )
+    step_fn = make_train_step(model, cfg)
+
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1:
+        mesh = make_mesh(n_model=cfg.mesh.model_parallel)
+        state = state.replace(
+            params=replicate(state.params, mesh),
+            opt_state=replicate(state.opt_state, mesh),
+        )
+
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg)
+    start_epoch, elapsed0 = 0, 0.0
+    if cfg.train.resume:
+        try:
+            state, start_epoch, elapsed0 = ckpt.restore(state)
+            log_fn(f"resumed from epoch {start_epoch}")
+        except FileNotFoundError:
+            log_fn("no checkpoint found; training from scratch")
+
+    history = LossHistory(cfg.train.log_dir, cfg.model.name)
+    rng = jax.random.key(cfg.train.seed + 1)
+    t_start = time.time() - elapsed0
+
+    for epoch in range(start_epoch, cfg.train.num_epochs):
+        batches = sampler.epoch_batches(
+            epoch_seed=cfg.train.seed * 100003 + epoch,
+            batch_size=cfg.data.batch_size,
+        )
+        if max_steps_per_epoch is not None:
+            import itertools
+
+            batches = itertools.islice(batches, max_steps_per_epoch)
+        if mesh is not None:
+            batches = (shard_batch(b, mesh) for b in batches)
+        state, mean_loss = train_epoch(state, step_fn, batches, rng)
+        elapsed = time.time() - t_start
+        log_fn(
+            f"epoch {epoch + 1}/{cfg.train.num_epochs}: "
+            f"loss={mean_loss:.5f} elapsed={elapsed:.1f}s"
+        )
+        history.append_loss(mean_loss, mean_loss, elapsed)
+        if should_checkpoint(epoch, cfg):
+            path = ckpt.save(state, epoch, elapsed)
+            log_fn(f"  checkpoint -> {path}")
+
+    return state, history

@@ -100,7 +100,7 @@ def make_train_step(
             [batch["left_designed"], batch["right_designed"]], axis=0
         )
         variables = {"params": params}
-        mutable = []
+        mutable = False
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
@@ -108,7 +108,10 @@ def make_train_step(
             variables, stacked, designed, True,
             rngs={"dropout": dropout_rng}, mutable=mutable,
         )
-        out, new_state = out if mutable else (out, {})
+        if mutable:
+            out, new_state = out
+        else:
+            new_state = {}
         if has_aux_heads:
             emb, aux0, aux1 = out
         else:

@@ -31,6 +31,7 @@ from deepmerge_tpu.ops.patches import (
     adaptive_scales,
     extract_multiscale_patches,
     pad_scene,
+    slot_caps,
 )
 
 
@@ -38,25 +39,35 @@ from deepmerge_tpu.ops.patches import (
 class DeviceScene:
     """A scene staged for device-side patch extraction."""
 
-    padded: jnp.ndarray          # (H+cap, W+cap, C) uint8 in HBM
+    padded: jnp.ndarray          # (H+2·pad, W+2·pad, C) uint8 in HBM
     points_yx: np.ndarray        # (P, 2) int32
     point_features: np.ndarray   # (P, 15) designed attributes of owner region
     point_inner: np.ndarray      # (P,)
     point_object: np.ndarray     # (P,)
     point_region: np.ndarray     # (P,)
-    cap: int
+    caps: tuple[int, ...]        # static per-slot window caps
 
 
 def stage_scene(scene: Scene, cfg: DataConfig) -> DeviceScene:
     feats, inner, obj = scene.regions.point_meta()
+    # per-slot window caps from the data's max adaptive scales (static per
+    # scene — one compile per cap signature)
+    inner64 = inner.astype(np.int64)
+    obj64 = obj.astype(np.int64)
+    ladder = np.stack(
+        [inner64, obj64, 2 * obj64 - inner64, 3 * obj64 - 2 * inner64], 1
+    )
+    caps = slot_caps(
+        ladder.max(0)[: len(cfg.patch_sizes)], cfg.max_window
+    )
     return DeviceScene(
-        padded=jnp.asarray(pad_scene(scene.image, cfg.max_window)),
+        padded=jnp.asarray(pad_scene(scene.image, caps)),
         points_yx=scene.regions.points_yx,
         point_features=feats,
         point_inner=inner,
         point_object=obj,
         point_region=scene.regions.point_region,
-        cap=cfg.max_window,
+        caps=caps,
     )
 
 
@@ -74,7 +85,8 @@ def point_batch(ds: DeviceScene, point_idx: np.ndarray, cfg: DataConfig):
         centers,
         scales,
         patch_sizes=tuple(cfg.patch_sizes),
-        cap=ds.cap,
+        caps=ds.caps,
+        chunk=min(256, max(len(point_idx), 8)),
         quantize_uint8=cfg.quantize_uint8,
     )
     designed = jnp.concatenate(

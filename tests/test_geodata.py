@@ -1,0 +1,113 @@
+"""Shapefile + GeoTIFF round-trips and reference I/O semantics."""
+
+import numpy as np
+
+from deepmerge_tpu.geodata.geotiff import GeoTiff, read_geotiff, write_geotiff
+from deepmerge_tpu.geodata.shapefile import (
+    DbfField,
+    Shape,
+    ShapefileTable,
+    SHP_POINT,
+    SHP_POLYLINE,
+)
+
+
+def test_shapefile_point_roundtrip(tmp_path, rng):
+    n = 25
+    xy = rng.rand(n, 2) * 1000
+    shapes = [Shape(SHP_POINT, xy[i : i + 1].copy()) for i in range(n)]
+    fields = [
+        DbfField("inner", "N", 10),
+        DbfField("object", "N", 10),
+        DbfField("area", "N", 19, 6),
+        DbfField("name", "C", 16),
+    ]
+    records = [
+        {"inner": int(i + 4), "object": int(2 * i + 8),
+         "area": float(i) * 1.5 + 0.25, "name": f"pt{i}"}
+        for i in range(n)
+    ]
+    t = ShapefileTable(SHP_POINT, shapes, fields, records)
+    path = str(tmp_path / "points.shp")
+    t.save(path)
+
+    r = ShapefileTable.read(path)
+    assert len(r) == n
+    assert r.shape_type == SHP_POINT
+    np.testing.assert_allclose(
+        np.array([[s.x, s.y] for s in r.shapes]), xy, rtol=1e-12
+    )
+    assert r.get_field("inner") == [int(i + 4) for i in range(n)]
+    np.testing.assert_allclose(
+        r.get_field("area"), [i * 1.5 + 0.25 for i in range(n)], atol=1e-6
+    )
+    assert r.get_field("name") == [f"pt{i}" for i in range(n)]
+
+
+def test_shapefile_polyline_and_field_writeback(tmp_path, rng):
+    """The reference's simi write-back flow (ExtractFeatures.py:182-219)."""
+    lines = [
+        Shape(SHP_POLYLINE, rng.rand(4, 2) * 100, np.array([0], np.int32))
+        for _ in range(6)
+    ]
+    fields = [DbfField("LEFT_FID", "N", 10), DbfField("RIGHT_FID", "N", 10)]
+    records = [{"LEFT_FID": i, "RIGHT_FID": i + 1} for i in range(6)]
+    t = ShapefileTable(SHP_POLYLINE, lines, fields, records)
+    path = str(tmp_path / "lines.shp")
+    t.save(path)
+
+    r = ShapefileTable.read(path)
+    r.add_field(DbfField("simi", "F", 19, 6))          # CreateField
+    for i in range(len(r)):
+        r.set_field(i, "simi", float(i) * 0.125)       # SetField
+    r.save(path)                                       # SetFeature/flush
+
+    r2 = ShapefileTable.read(path)
+    assert "simi" in r2.field_names()
+    np.testing.assert_allclose(
+        r2.get_field("simi"), [i * 0.125 for i in range(6)], atol=1e-6
+    )
+    assert r2.get_field("LEFT_FID") == [i for i in range(6)]
+    # geometry survived the attribute rewrite
+    np.testing.assert_allclose(r2.shapes[3].points, lines[3].points, rtol=1e-12)
+
+
+def test_geotiff_roundtrip(tmp_path, rng):
+    img = (rng.rand(37, 53, 3) * 255).astype(np.uint8)
+    gt = (500000.0, 0.5, 0.0, 4100000.0, 0.0, -0.5)
+    path = str(tmp_path / "scene.tif")
+    write_geotiff(path, img, gt)
+    r = read_geotiff(path)
+    np.testing.assert_array_equal(r.array, img)
+    np.testing.assert_allclose(r.geotransform, gt, rtol=1e-12)
+
+
+def test_geotiff_single_band(tmp_path, rng):
+    img = (rng.rand(16, 16) * 255).astype(np.uint8)
+    path = str(tmp_path / "gray.tif")
+    write_geotiff(path, img)
+    r = read_geotiff(path)
+    np.testing.assert_array_equal(r.array[..., 0], img)
+
+
+def test_geo_to_pixel_reference_semantics():
+    """XPixel = |gt0 − X|/gt1 + 1 (MyUtils1.py:70-72), truncated to int."""
+    g = GeoTiff(
+        array=np.zeros((10, 10, 1), np.uint8),
+        geotransform=(100.0, 2.0, 0.0, 200.0, 0.0, -2.0),
+    )
+    y, x = g.geo_to_pixel(110.0, 190.0)
+    assert (y, x) == (int(abs((200.0 - 190.0) / -2.0) + 1),
+                      int(abs((100.0 - 110.0) / 2.0) + 1))
+    assert (y, x) == (6, 6)
+
+
+def test_read_window_zero_padded_clipping(rng):
+    arr = (rng.rand(8, 8, 2) * 255).astype(np.uint8)
+    g = GeoTiff(array=arr)
+    win = g.read_window(-2, -3, 6, 6)
+    assert win.shape == (6, 6, 2)
+    assert (win[:3].sum(), win[:, :2].sum()) == (0, 0)
+    np.testing.assert_array_equal(win[3:, 2:], arr[:3, :4])
+    # fully outside -> all zeros
+    assert g.read_window(100, 100, 4, 4).sum() == 0

@@ -1,0 +1,46 @@
+"""Scene export/ingest round-trip through the reference file layout."""
+
+import numpy as np
+
+from deepmerge_tpu.geodata.ingest import export_scene, load_scene, write_simi
+from deepmerge_tpu.geodata.shapefile import ShapefileTable
+from deepmerge_tpu.geodata.synthetic import generate_scene
+
+
+def test_scene_roundtrip(tmp_path):
+    scene = generate_scene(h=96, w=96, n_regions=12, n_objects=4, seed=3,
+                           points_per_region=2)
+    scene.meta["geotransform"] = (500000.0, 1.0, 0.0, 4100000.0, 0.0, -1.0)
+    paths = export_scene(scene, str(tmp_path))
+
+    loaded = load_scene(
+        paths["image"], paths["polygons"], paths["points"], paths["lines"],
+        labels=scene.labels,
+    )
+    np.testing.assert_array_equal(loaded.image, scene.image)
+    assert loaded.regions.num_regions == scene.regions.num_regions
+    assert loaded.regions.num_points == scene.regions.num_points
+    np.testing.assert_allclose(
+        loaded.regions.features, scene.regions.features, rtol=2e-6, atol=1e-4
+    )
+    np.testing.assert_array_equal(loaded.regions.inner, scene.regions.inner)
+    np.testing.assert_array_equal(loaded.regions.object_, scene.regions.object_)
+    np.testing.assert_array_equal(
+        loaded.regions.point_region, scene.regions.point_region
+    )
+    # geo->pixel->geo round trip preserves sample-point pixel centers
+    # (border pixels 0 clamp to 1: the reference's abs()+1 transform cannot
+    # represent row/col 0 — MyUtils1.py:70-72)
+    np.testing.assert_array_equal(
+        loaded.regions.points_yx, np.maximum(scene.regions.points_yx, 1)
+    )
+    np.testing.assert_array_equal(loaded.rag.edges, scene.rag.edges)
+
+
+def test_simi_writeback(tmp_path):
+    scene = generate_scene(h=64, w=64, n_regions=8, n_objects=3, seed=1)
+    paths = export_scene(scene, str(tmp_path))
+    simi = np.arange(scene.rag.num_edges, dtype=np.float32) * 0.5
+    write_simi(paths["lines"], simi)
+    lines = ShapefileTable.read(paths["lines"])
+    np.testing.assert_allclose(lines.get_field("simi"), simi, atol=1e-6)

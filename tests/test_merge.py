@@ -1,0 +1,102 @@
+"""Segment pooling, edge scoring, union-find, and the merge engine."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from deepmerge_tpu.infer.merge import MergeEngine, UnionFind, connected_labels
+from deepmerge_tpu.infer.scoring import region_embeddings, score_edges
+from deepmerge_tpu.ops.segment import edge_distances, pairwise_sqdist, segment_mean
+
+
+def test_segment_mean_basic():
+    emb = jnp.asarray(np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]))
+    ids = jnp.asarray(np.array([0, 0, 2], np.int32))
+    out = np.asarray(segment_mean(emb, ids, 3))
+    np.testing.assert_allclose(out[0], [2.0, 3.0])
+    np.testing.assert_allclose(out[1], [0.0, 0.0])  # empty region -> zeros
+    np.testing.assert_allclose(out[2], [5.0, 6.0])
+
+
+def test_pairwise_sqdist_matches_numpy(rng):
+    x = rng.randn(7, 5).astype(np.float32)
+    y = rng.randn(9, 5).astype(np.float32)
+    got = np.asarray(pairwise_sqdist(jnp.asarray(x), jnp.asarray(y)))
+    want = ((x[:, None] - y[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_edge_distances(rng):
+    remb = rng.randn(10, 4).astype(np.float32)
+    edges = np.array([[0, 1], [2, 5], [9, 9]], np.int32)
+    got = np.asarray(edge_distances(jnp.asarray(remb), jnp.asarray(edges)))
+    want = np.sqrt(((remb[edges[:, 0]] - remb[edges[:, 1]]) ** 2).sum(-1))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert got[2] == 0.0
+
+
+def test_score_edges_padded_batching(rng):
+    remb = jnp.asarray(rng.randn(20, 4).astype(np.float32))
+    edges = np.stack([rng.randint(0, 20, 100), rng.randint(0, 20, 100)], 1)
+    full = score_edges(remb, edges, edge_batch=1000)
+    chunked = score_edges(remb, edges, edge_batch=7)
+    np.testing.assert_allclose(full, chunked, rtol=1e-6)
+
+
+def test_union_find_deterministic():
+    uf = UnionFind(6)
+    uf.union_edges(np.array([[4, 5], [1, 0], [2, 1]]))
+    labels, k = uf.labels()
+    assert k == 3
+    # components {0,1,2}, {3}, {4,5} labeled by smallest member order
+    np.testing.assert_array_equal(labels, [0, 0, 0, 1, 2, 2])
+
+
+def test_connected_labels_matches_unionfind(rng):
+    n = 50
+    edges = np.stack([rng.randint(0, n, 40), rng.randint(0, n, 40)], 1)
+    l1, k1 = connected_labels(n, edges)
+    uf = UnionFind(n)
+    uf.union_edges(edges)
+    l2, k2 = uf.labels()
+    assert k1 == k2
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_merge_engine_recovers_ground_truth():
+    """Points embedded exactly by object id must merge into the objects."""
+    r = np.random.RandomState(3)
+    n_regions, n_objects, d = 30, 5, 8
+    obj_of_region = r.randint(0, n_objects, n_regions)
+    centers = r.randn(n_objects, d).astype(np.float32) * 10
+    # 3 points per region, tight around the object center
+    point_region = np.repeat(np.arange(n_regions), 3)
+    pts = centers[obj_of_region[point_region]] + 0.01 * r.randn(len(point_region), d).astype(np.float32)
+
+    # RAG: connect some same-object and different-object pairs
+    edges = []
+    for _ in range(120):
+        a, b = r.randint(0, n_regions, 2)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    edges = np.unique(np.array(edges), axis=0)
+
+    result = MergeEngine(threshold=1.0, max_rounds=8).run(
+        pts, point_region, n_regions, edges
+    )
+    # merged clusters must never mix ground-truth objects
+    for cl in range(result.num_clusters):
+        members = np.where(result.region_to_cluster == cl)[0]
+        assert len(np.unique(obj_of_region[members])) == 1
+    # and regions of the same object that are RAG-connected must merge
+    lab = result.region_to_cluster
+    same_obj_edges = edges[obj_of_region[edges[:, 0]] == obj_of_region[edges[:, 1]]]
+    assert (lab[same_obj_edges[:, 0]] == lab[same_obj_edges[:, 1]]).all()
+
+
+def test_merge_engine_no_merges_when_threshold_zero(rng):
+    pts = rng.randn(12, 4).astype(np.float32)
+    point_region = np.arange(12) // 2
+    edges = np.array([[0, 1], [1, 2], [3, 4]], np.int64)
+    result = MergeEngine(threshold=0.0, max_rounds=4).run(pts, point_region, 6, edges)
+    assert result.num_clusters == 6
+    np.testing.assert_array_equal(result.region_to_cluster, np.arange(6))

@@ -1,0 +1,79 @@
+"""End-to-end slice: synthetic scene → train steps → extract → score → merge.
+
+The SURVEY.md §7 "minimum end-to-end slice" exercised as one test: every
+layer runs with zero geodata dependencies and produces a merged label map.
+"""
+
+import jax
+import numpy as np
+
+from deepmerge_tpu.config import Config
+from deepmerge_tpu.geodata.synthetic import generate_scene, make_training_pairs
+from deepmerge_tpu.infer.extract import FeatureExtractor, FeatureStore
+from deepmerge_tpu.infer.merge import merge_scene
+from deepmerge_tpu.infer.scoring import score_scene_edges
+from deepmerge_tpu.models.s2former import build_model
+from deepmerge_tpu.train.loop import create_train_state, make_train_step
+from deepmerge_tpu.train.sampler import PairSampler, stage_scene
+
+
+def test_end_to_end_slice(tiny_model_cfg, tiny_data_cfg):
+    scene = generate_scene(h=160, w=160, n_regions=30, n_objects=5, seed=11)
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    model = build_model(tiny_model_cfg)
+
+    # --- train a few steps --------------------------------------------------
+    state = create_train_state(model, cfg, jax.random.key(0), steps_per_epoch=2)
+    step = make_train_step(model, cfg)
+    pos, neg = make_training_pairs(scene)
+    sampler = PairSampler(scene, pos, neg, tiny_data_cfg)
+    rng = jax.random.key(1)
+    n_steps = 0
+    for batch in sampler.epoch_batches(epoch_seed=0, batch_size=8):
+        state, metrics = step(state, batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        n_steps += 1
+        if n_steps >= 3:
+            break
+    assert n_steps > 0
+
+    # --- extract embeddings for every sample point --------------------------
+    extractor = FeatureExtractor(model, state.params, batch_size=16)
+    store = FeatureStore()  # in-memory
+    ds = stage_scene(scene, tiny_data_cfg)
+    emb = extractor.extract_scene(scene, tiny_data_cfg, store, device_scene=ds)
+    assert emb.shape == (scene.regions.num_points, tiny_model_cfg.out_dim)
+    assert np.isfinite(emb).all()
+    np.testing.assert_array_equal(store.read_all(), emb)
+
+    # --- score RAG edges -----------------------------------------------------
+    simi = score_scene_edges(scene, emb, edge_batch=64)
+    assert simi.shape == (scene.rag.num_edges,)
+    assert (simi >= 0).all() and np.isfinite(simi).all()
+    assert scene.rag.simi is simi
+
+    # --- merge rounds → label map -------------------------------------------
+    result = merge_scene(scene, emb, threshold=float(np.median(simi)), max_rounds=4)
+    assert result.num_clusters <= scene.regions.num_regions
+    assert result.edges_scored >= scene.rag.num_edges
+    label_map = result.label_map(scene)
+    assert label_map.shape == scene.labels.shape
+    assert label_map.max() == result.num_clusters - 1
+
+
+def test_extract_batch_padding(tiny_model_cfg, tiny_data_cfg):
+    """Point count not divisible by the batch gives exact-length output."""
+    scene = generate_scene(h=96, w=96, n_regions=9, n_objects=3, seed=5,
+                           points_per_region=3)
+    model = build_model(tiny_model_cfg)
+    import deepmerge_tpu.models.s2former as s2
+
+    variables = s2.init_params(model, jax.random.key(0))
+    extractor = FeatureExtractor(model, variables["params"], batch_size=10)
+    emb = extractor.extract_scene(scene, tiny_data_cfg)
+    assert emb.shape[0] == scene.regions.num_points
+    # padded forward must not change real rows: re-run with other batch size
+    emb2 = FeatureExtractor(model, variables["params"], batch_size=7).extract_scene(
+        scene, tiny_data_cfg
+    )
+    np.testing.assert_allclose(emb, emb2, atol=1e-5)

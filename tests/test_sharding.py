@@ -1,0 +1,89 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh.
+
+DP (batch over 'data') and TP (heads/FFN over 'model') must compile and run
+with XLA-inserted collectives — the reference has no distributed path at all
+(SURVEY.md §2.4), so these are green-field guarantees.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepmerge_tpu.config import Config
+from deepmerge_tpu.geodata.synthetic import generate_scene, make_training_pairs
+from deepmerge_tpu.models.s2former import build_model
+from deepmerge_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_params
+from deepmerge_tpu.train.loop import create_train_state, make_train_step
+from deepmerge_tpu.train.sampler import PairSampler
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_train_step(tiny_model_cfg, tiny_data_cfg, small_scene):
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    model = build_model(tiny_model_cfg)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step = make_train_step(model, cfg)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    pos, neg = make_training_pairs(small_scene)
+    sampler = PairSampler(small_scene, pos, neg, tiny_data_cfg)
+    batch = next(iter(sampler.epoch_batches(epoch_seed=0, batch_size=16)))
+    batch = shard_batch(batch, mesh)
+
+    state2, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # sharded result == single-device result on the same batch
+    host_batch = jax.tree.map(lambda x: jax.device_get(x), batch)
+    state_ref = create_train_state(model, cfg, jax.random.key(0))
+    _, metrics_ref = step(state_ref, host_batch, jax.random.key(1))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_ref["loss"]), rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("n_model", [2, 4])
+def test_tp_forward_matches_replicated(tiny_model_cfg, n_model):
+    model = build_model(tiny_model_cfg)
+    import deepmerge_tpu.models.s2former as s2
+
+    variables = s2.init_params(model, jax.random.key(0))
+    r = np.random.RandomState(0)
+    patches = tuple(
+        jnp.asarray(r.rand(4, s, s, 3), jnp.float32)
+        for s in tiny_model_cfg.input_image_scales
+    )
+    designed = jnp.asarray(r.rand(4, 19), jnp.float32)
+
+    want = np.asarray(model.apply(variables, patches, designed, False))
+
+    mesh = make_mesh(n_data=8 // n_model, n_model=n_model)
+    params_tp = shard_params(variables["params"], mesh)
+
+    @jax.jit
+    def fwd(p, patches, designed):
+        return model.apply({"params": p}, patches, designed, False)
+
+    got = np.asarray(fwd(params_tp, patches, designed))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tp_params_actually_sharded(tiny_model_cfg):
+    model = build_model(tiny_model_cfg)
+    import deepmerge_tpu.models.s2former as s2
+
+    variables = s2.init_params(model, jax.random.key(0))
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = shard_params(variables["params"], mesh)
+    qkv = params["blocks0_0"]["attn"]["qkv"]["kernel"]
+    # sharded on the output (model) dim: each shard holds half the columns
+    shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+    assert shard_shapes == {(qkv.shape[0], qkv.shape[1] // 2)}

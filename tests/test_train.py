@@ -1,0 +1,94 @@
+"""Loss semantics + train-step behavior on synthetic pairs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepmerge_tpu.config import Config, TrainConfig
+from deepmerge_tpu.geodata.synthetic import make_training_pairs
+from deepmerge_tpu.models.s2former import build_model
+from deepmerge_tpu.train.loop import (
+    create_train_state,
+    lr_schedule,
+    make_train_step,
+)
+from deepmerge_tpu.train.losses import contrastive_pair_loss
+from deepmerge_tpu.train.sampler import PairSampler
+
+
+def test_contrastive_loss_values():
+    e1 = jnp.array([[1.0, 0.0], [0.0, 0.0]])
+    e2 = jnp.array([[0.0, 0.0], [0.0, 0.0]])
+    # pair 0: d2 = 1; pair 1: d2 = 0
+    # flags [1, 0]: loss = (1*1 + relu(1-0)) / 2 = 1.0
+    flag = jnp.array([1.0, 0.0])
+    assert float(contrastive_pair_loss(e1, e2, flag, margin=1.0)) == 1.0
+    # flags [0, 1]: loss = (relu(1-1) + 0) / 2 = 0
+    flag = jnp.array([0.0, 1.0])
+    assert float(contrastive_pair_loss(e1, e2, flag, margin=1.0)) == 0.0
+
+
+def test_contrastive_loss_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    r = np.random.RandomState(0)
+    a = r.randn(16, 10).astype(np.float32)
+    b = r.randn(16, 10).astype(np.float32)
+    flag = (r.rand(16) > 0.5).astype(np.float32)
+    margin = 1.0
+    d = ((torch.tensor(a) - torch.tensor(b)) ** 2).sum(1)
+    want = (
+        torch.tensor(flag) * d
+        + (1 - torch.tensor(flag)) * F.relu(-d + margin)
+    ).mean()
+    got = contrastive_pair_loss(jnp.asarray(a), jnp.asarray(b), jnp.asarray(flag))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_lr_schedule_multistep():
+    cfg = Config(train=TrainConfig(lr=1e-4, lr_milestones=(40, 80), lr_gamma=0.2))
+    sched = lr_schedule(cfg, steps_per_epoch=10)
+    assert np.isclose(float(sched(0)), 1e-4)
+    assert np.isclose(float(sched(399)), 1e-4)
+    assert np.isclose(float(sched(400)), 2e-5)
+    assert np.isclose(float(sched(800)), 4e-6)
+
+
+def test_train_step_reduces_loss(tiny_model_cfg, tiny_data_cfg, small_scene):
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    model = build_model(tiny_model_cfg)
+    state = create_train_state(model, cfg, jax.random.key(0), steps_per_epoch=4)
+    step = make_train_step(model, cfg)
+
+    pos, neg = make_training_pairs(small_scene)
+    sampler = PairSampler(small_scene, pos, neg, tiny_data_cfg)
+    batches = list(sampler.epoch_batches(epoch_seed=0, batch_size=8))
+    assert batches, "sampler yielded no batches"
+
+    rng = jax.random.key(42)
+    first_losses, last_losses = [], []
+    for it in range(8):
+        batch = batches[it % len(batches)]
+        state, metrics = step(state, batch, rng)
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        (first_losses if it < 2 else last_losses).append(loss)
+    assert np.mean(last_losses) < np.mean(first_losses) * 1.5  # not diverging
+    assert int(state.step) == 8
+
+
+def test_epoch_resampling_changes_points(small_scene, tiny_data_cfg):
+    pos, neg = make_training_pairs(small_scene)
+    sampler = PairSampler(small_scene, pos, neg, tiny_data_cfg)
+    b0 = next(iter(sampler.epoch_batches(epoch_seed=0, batch_size=8)))
+    b1 = next(iter(sampler.epoch_batches(epoch_seed=1, batch_size=8)))
+    # different epoch seeds draw different sample points / order
+    assert not np.array_equal(
+        np.asarray(b0["left_designed"]), np.asarray(b1["left_designed"])
+    )
+    # same seed is reproducible
+    b0b = next(iter(sampler.epoch_batches(epoch_seed=0, batch_size=8)))
+    np.testing.assert_array_equal(
+        np.asarray(b0["left_designed"]), np.asarray(b0b["left_designed"])
+    )
