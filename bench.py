@@ -33,7 +33,7 @@ def main():
     H = W = 1024           # 1.05 MPix scene
     N_REGIONS = 2048       # ~2k superpixels per MPix (BASELINE.json configs)
     POINTS_PER_REGION = 1
-    BATCH = 1024
+    BATCH = 2048
 
     mcfg = ModelConfig(dtype="bfloat16")  # flagship v3-642
     dcfg = DataConfig(max_window=512, eval_batch_size=BATCH)

@@ -41,6 +41,7 @@ class ModelConfig:
     attn_drop_ratio: float = 0.0
     drop_path_ratio: float = 0.0
     dtype: str = "bfloat16"                   # compute dtype on TPU (params stay f32)
+    fused_attention: bool = True              # Pallas fused attention (inference path)
 
     @property
     def n_scales(self) -> int:

@@ -19,8 +19,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
 from deepmerge_tpu.geodata.types import Scene
 from deepmerge_tpu.infer.scoring import region_embeddings, score_edges
+from deepmerge_tpu.ops.segment import edge_distances, segment_mean
 
 try:
     from deepmerge_tpu.native import unionfind as _native_uf
@@ -71,6 +77,13 @@ def connected_labels(n: int, edges: np.ndarray) -> tuple[np.ndarray, int]:
     return uf.labels()
 
 
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def _round_scores(point_embeddings, pt_cluster, edges, num_segments: int):
+    """One merge round's device work in one dispatch: pool + score."""
+    cemb = segment_mean(point_embeddings, pt_cluster, num_segments)
+    return edge_distances(cemb, edges)
+
+
 @dataclass
 class MergeResult:
     region_to_cluster: np.ndarray          # (R,) final cluster id per region
@@ -112,16 +125,29 @@ class MergeEngine:
         merges = []
         rounds = 0
 
+        emb_dev = jnp.asarray(point_embeddings, jnp.float32)
+
         for rounds in range(1, self.max_rounds + 1):
             if len(cur_edges) == 0:
                 rounds -= 1
                 break
-            # device: cluster embeddings + edge scores. num_segments stays
-            # pinned at the initial region count so every round reuses ONE
-            # compiled segment-mean kernel (cluster ids are always < R).
+            # device: cluster embeddings + edge scores as ONE dispatch
+            # (dispatch overhead dominates these tiny computations).
+            # num_segments stays pinned at the initial region count so every
+            # round reuses ONE compiled kernel (cluster ids are always < R).
             pt_cluster = cur_labels[point_region]
-            cemb = region_embeddings(point_embeddings, pt_cluster, num_regions)
-            d = score_edges(cemb, cur_edges, self.edge_batch)
+            e = cur_edges
+            pad = (-len(e)) % self.edge_batch
+            if pad:
+                e = np.concatenate([e, np.zeros((pad, 2), e.dtype)])
+            d = np.asarray(
+                _round_scores(
+                    emb_dev,
+                    jnp.asarray(pt_cluster, jnp.int32),
+                    jnp.asarray(e, jnp.int32),
+                    num_regions,
+                )
+            )[: len(cur_edges)]
             total_scored += len(cur_edges)
 
             passing = cur_edges[d < self.threshold]

@@ -129,6 +129,7 @@ class CrossScaleAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    fused: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -160,20 +161,31 @@ class CrossScaleAttention(nn.Module):
         head_dim = c // self.num_heads
         qkv = self.qkv(x).reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, H, d)
-        q = q * (head_dim ** -0.5)
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        )
         bias = self.bias_table[self.rel_index.reshape(-1)].reshape(
             n, n, self.num_heads
-        )
-        attn = attn + bias.transpose(2, 0, 1)[None].astype(jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = self.attn_dropout(attn, deterministic=deterministic)
-        out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn.astype(x.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).reshape(b, n, c).astype(x.dtype)
+        ).transpose(2, 0, 1)
+
+        if self.fused and deterministic and not self.extra_token:
+            # inference path: fused VMEM attention (no HBM logits tensor).
+            # Training falls through to the differentiable XLA path.
+            from deepmerge_tpu.ops.pallas.fused_attention import fused_attention
+            from deepmerge_tpu.ops.pallas.window_gather import default_interpret
+
+            out = fused_attention(
+                q, k, v, bias, interpret=default_interpret()
+            ).reshape(b, n, c)
+        else:
+            q = q * (head_dim ** -0.5)
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            )
+            attn = attn + bias[None].astype(jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = self.attn_dropout(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn.astype(x.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, n, c).astype(x.dtype)
         out = self.proj(out)
         return self.proj_dropout(out, deterministic=deterministic)
 
@@ -204,6 +216,7 @@ class CrossScaleBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    fused: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -213,7 +226,8 @@ class CrossScaleBlock(nn.Module):
         y = CrossScaleAttention(
             dim=self.dim, num_heads=self.num_heads, cube=self.cube,
             extra_token=self.extra_token, attn_drop=self.attn_drop,
-            proj_drop=self.drop, dtype=self.dtype, name="attn",
+            proj_drop=self.drop, fused=self.fused, dtype=self.dtype,
+            name="attn",
         )(y, deterministic)
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -375,6 +389,7 @@ class S2Former(nn.Module):
                     mlp_ratio=cfg.mlp_ratio, drop=cfg.drop_ratio,
                     attn_drop=cfg.attn_drop_ratio,
                     drop_path=(drop_path[i] if drop_path else 0.0),
+                    fused=cfg.fused_attention,
                     dtype=dtype, name=f"{tag}_{i}",
                 )
                 for i in range(depth)

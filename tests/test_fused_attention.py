@@ -1,0 +1,73 @@
+"""Fused attention kernel parity vs the XLA reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepmerge_tpu.ops.pallas.fused_attention import fused_attention
+
+
+def _xla_attention(q, k, v, bias):
+    d = q.shape[-1]
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * d ** -0.5, k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn + bias[None].astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@pytest.mark.parametrize("n", [192, 48, 12])
+def test_fused_matches_xla(n):
+    r = np.random.RandomState(0)
+    b, h, d = 5, 4, 16  # b deliberately not a multiple of block_b
+    q = jnp.asarray(r.randn(b, n, h, d), jnp.float32)
+    k = jnp.asarray(r.randn(b, n, h, d), jnp.float32)
+    v = jnp.asarray(r.randn(b, n, h, d), jnp.float32)
+    bias = jnp.asarray(r.randn(h, n, n), jnp.float32)
+    want = np.asarray(_xla_attention(q, k, v, bias))
+    got = np.asarray(fused_attention(q, k, v, bias, block_b=4, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gradients_match_xla():
+    r = np.random.RandomState(1)
+    b, n, h, d = 3, 12, 2, 8
+    q = jnp.asarray(r.randn(b, n, h, d), jnp.float32)
+    k = jnp.asarray(r.randn(b, n, h, d), jnp.float32)
+    v = jnp.asarray(r.randn(b, n, h, d), jnp.float32)
+    bias = jnp.asarray(r.randn(h, n, n), jnp.float32)
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(fused_attention(q, k, v, bias, block_b=2,
+                                       interpret=True) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(_xla_attention(q, k, v, bias) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_model_fused_flag_is_numerically_consistent(tiny_model_cfg):
+    """fused vs XLA attention paths of the full model agree (f32, interpret)."""
+    import dataclasses
+
+    from deepmerge_tpu.models.s2former import build_model, init_params
+
+    cfg_x = dataclasses.replace(tiny_model_cfg, fused_attention=False)
+    cfg_f = dataclasses.replace(tiny_model_cfg, fused_attention=True)
+    m_x, m_f = build_model(cfg_x), build_model(cfg_f)
+    variables = init_params(m_x, jax.random.key(0))
+    r = np.random.RandomState(0)
+    patches = tuple(
+        jnp.asarray(r.rand(2, s, s, 3), jnp.float32)
+        for s in tiny_model_cfg.input_image_scales
+    )
+    designed = jnp.asarray(r.rand(2, 19), jnp.float32)
+    out_x = np.asarray(m_x.apply(variables, patches, designed, False))
+    out_f = np.asarray(m_f.apply(variables, patches, designed, False))
+    np.testing.assert_allclose(out_f, out_x, rtol=1e-4, atol=1e-4)
