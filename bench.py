@@ -25,7 +25,7 @@ def main():
     from deepmerge_tpu.config import Config, DataConfig, ModelConfig
     from deepmerge_tpu.geodata.synthetic import generate_scene
     from deepmerge_tpu.infer.extract import FeatureExtractor
-    from deepmerge_tpu.infer.merge import merge_scene
+    from deepmerge_tpu.infer.merge import merge_scene_device
     from deepmerge_tpu.infer.scoring import score_scene_edges
     from deepmerge_tpu.models.s2former import build_model, init_params
     from deepmerge_tpu.train.sampler import stage_scene
@@ -59,7 +59,7 @@ def main():
         thr = float(np.median(simi))
         phases["score"] = phases.get("score", 0) + time.perf_counter() - t
         t = time.perf_counter()
-        result = merge_scene(scene, emb, threshold=thr, max_rounds=8)
+        result = merge_scene_device(scene, emb, threshold=thr, max_rounds=8)
         _ = result.label_map(scene)
         phases["merge"] = phases.get("merge", 0) + time.perf_counter() - t
         return result

@@ -116,6 +116,7 @@ class MergeConfig:
     threshold: float = 1.0                    # merge edges with distance < threshold
     max_rounds: int = 16
     edge_batch: int = 8192                    # padded edge-batch size per scoring call
+    engine: str = "device"                    # "device" (one-dispatch label-prop) | "host" (union-find)
 
 
 @dataclass(frozen=True)

@@ -78,12 +78,21 @@ def process_scene(
     result = None
     if do_merge:
         with phase_timer(timings, "merge"):
-            result = merge_scene(
-                scene, emb,
-                threshold=cfg.merge.threshold,
-                max_rounds=cfg.merge.max_rounds,
-                edge_batch=cfg.merge.edge_batch,
-            )
+            if cfg.merge.engine == "device":
+                from deepmerge_tpu.infer.merge import merge_scene_device
+
+                result = merge_scene_device(
+                    scene, emb,
+                    threshold=cfg.merge.threshold,
+                    max_rounds=cfg.merge.max_rounds,
+                )
+            else:
+                result = merge_scene(
+                    scene, emb,
+                    threshold=cfg.merge.threshold,
+                    max_rounds=cfg.merge.max_rounds,
+                    edge_batch=cfg.merge.edge_batch,
+                )
         log_fn(
             f"{scene.name}: {scene.regions.num_regions} regions -> "
             f"{result.num_clusters} objects in {result.rounds} rounds "

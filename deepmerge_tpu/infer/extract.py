@@ -98,7 +98,11 @@ class FeatureExtractor:
         batch_stats=None,
         batch_size: int = 2000,
         cast_params: bool = True,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh — point batches are sharded
+        over its 'data' axis and params replicated, so extraction scales
+        across chips (batch_size must divide by the data-axis size)."""
         self.model = model
         dtype = jnp.dtype(model.cfg.dtype)
         if cast_params and dtype != jnp.float32:
@@ -112,6 +116,7 @@ class FeatureExtractor:
         self.params = params
         self.batch_stats = batch_stats or {}
         self.batch_size = batch_size
+        self.mesh = mesh
         has_bs = bool(self.batch_stats)
         mcfg = model.cfg
 
@@ -141,7 +146,48 @@ class FeatureExtractor:
                 variables["batch_stats"] = batch_stats
             return self.model.apply(variables, patches, designed, False)
 
-        self._fused = jax.jit(fused, static_argnames=("caps", "quantize"))
+        if mesh is None:
+            self._fused = jax.jit(fused, static_argnames=("caps", "quantize"))
+        else:
+            # multi-chip extraction: replicate params + scene, split the
+            # point batch over the 'data' axis with shard_map (Pallas kernels
+            # need explicit per-device sharding, not GSPMD partitioning)
+            from jax.sharding import PartitionSpec as P
+
+            from deepmerge_tpu.parallel.mesh import replicate
+
+            self.params = replicate(self.params, mesh)
+            if self.batch_stats:
+                self.batch_stats = replicate(self.batch_stats, mesh)
+
+            def make(caps, quantize):
+                local = lambda params, bs_, padded, c, s, f, ft: fused(
+                    params, bs_, padded, c, s, f, ft, caps, quantize
+                )
+                rep = P()
+                return jax.jit(
+                    jax.shard_map(
+                        local,
+                        mesh=mesh,
+                        in_specs=(
+                            jax.tree.map(lambda _: rep, self.params),
+                            jax.tree.map(lambda _: rep, self.batch_stats),
+                            rep, P("data"), P("data"), P("data"), P("data"),
+                        ),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )
+                )
+
+            cache = {}
+
+            def fused_sharded(params, bs_, padded, c, s, f, ft, caps, quantize):
+                key = (caps, quantize)
+                if key not in cache:
+                    cache[key] = make(caps, quantize)
+                return cache[key](params, bs_, padded, c, s, f, ft)
+
+            self._fused = fused_sharded
 
     def extract_scene(
         self,

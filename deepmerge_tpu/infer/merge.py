@@ -30,6 +30,9 @@ from deepmerge_tpu.ops.segment import edge_distances, segment_mean
 
 try:
     from deepmerge_tpu.native import unionfind as _native_uf
+
+    if not _native_uf.available():  # toolchain missing: pure-Python fallback
+        _native_uf = None
 except Exception:  # pragma: no cover - native ext optional
     _native_uf = None
 
@@ -191,4 +194,45 @@ def merge_scene(
         scene.regions.point_region,
         scene.regions.num_regions,
         scene.rag.edges,
+    )
+
+
+def merge_scene_device(
+    scene: Scene,
+    point_embeddings: np.ndarray,
+    threshold: float = 1.0,
+    max_rounds: int = 16,
+    edge_pad: int = 2048,
+) -> MergeResult:
+    """Fully on-device merge (ONE dispatch): min-label-propagation rounds.
+
+    Produces the same partition as ``merge_scene`` (both use deterministic
+    min-id components); labels are densified on the host afterwards.
+    """
+    from deepmerge_tpu.ops.labelprop import device_merge
+
+    r = scene.regions.num_regions
+    edges = np.asarray(scene.rag.edges, np.int32)
+    pad = (-len(edges)) % edge_pad if len(edges) else edge_pad
+    valid = np.ones(len(edges), bool)
+    if pad:
+        edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+
+    labels, rounds = device_merge(
+        jnp.asarray(point_embeddings, jnp.float32),
+        jnp.asarray(scene.regions.point_region, jnp.int32),
+        jnp.asarray(edges),
+        jnp.asarray(valid),
+        threshold,
+        num_regions=r,
+        max_rounds=max_rounds,
+    )
+    labels = np.asarray(labels)
+    uniq, dense = np.unique(labels, return_inverse=True)
+    return MergeResult(
+        region_to_cluster=dense.astype(np.int32),
+        num_clusters=len(uniq),
+        rounds=int(rounds),
+        edges_scored=int(rounds) * int(np.sum(valid)),
     )

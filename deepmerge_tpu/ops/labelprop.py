@@ -1,0 +1,108 @@
+"""Fully on-device iterative merge via min-label propagation.
+
+The host merge engine (``infer/merge.py``) does union-find + RAG contraction
+on the CPU between device scoring rounds — each round costs a dispatch
+(~28ms on relayed platforms) plus host work. This module runs the ENTIRE
+iterative merge as ONE jitted program:
+
+  round:  cluster embeddings (segment mean over current labels)
+          → score every original RAG edge through its clusters' labels
+          → passing = distance < threshold (and endpoints differ)
+          → connected components of passing edges by min-label propagation
+            (scatter-min over edges + pointer jumping, O(log R) sweeps)
+  until no edge passes or max_rounds.
+
+Labels use min-member-id semantics (label of a cluster = smallest region id
+in it) — identical to the host engine's deterministic min-root relabel, just
+not densified until the host reads the result back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from deepmerge_tpu.ops.segment import segment_mean
+
+
+def _propagate(labels, edges, valid, sweeps: int):
+    """Min-label connected components over masked edges."""
+    n = labels.shape[0]
+    a, b = edges[:, 0], edges[:, 1]
+
+    def sweep(_, labels):
+        la = labels[a]
+        lb = labels[b]
+        m = jnp.minimum(la, lb)
+        big = jnp.iinfo(labels.dtype).max
+        upd_a = jnp.where(valid, m, big)
+        upd_b = jnp.where(valid, m, big)
+        labels = labels.at[a].min(upd_a)
+        labels = labels.at[b].min(upd_b)
+        # pointer jumping: labels follow their own label's label
+        return jnp.minimum(labels, labels[labels])
+
+    return jax.lax.fori_loop(0, sweeps, sweep, labels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_regions", "max_rounds", "sweeps")
+)
+def device_merge(
+    point_embeddings,
+    point_region,
+    edges,
+    edge_valid,
+    threshold,
+    num_regions: int,
+    max_rounds: int = 16,
+    sweeps: int = 16,
+):
+    """One-dispatch iterative merge.
+
+    Args:
+      point_embeddings: (P, D) float32.
+      point_region: (P,) int32 region id per point.
+      edges: (E, 2) int32 ORIGINAL RAG edges (padding allowed).
+      edge_valid: (E,) bool mask for padding.
+      threshold: merge edges with Euclidean distance < threshold.
+      num_regions: static region count R.
+      max_rounds: merge round cap.
+      sweeps: label-propagation sweeps per round (≥ log2 of the longest
+        merge chain; 16 covers 65k-region chains).
+
+    Returns:
+      labels (R,) int32 min-member-id cluster labels, rounds (int32).
+    """
+    labels0 = jnp.arange(num_regions, dtype=jnp.int32)
+    pr = point_region.astype(jnp.int32)
+    emb = point_embeddings.astype(jnp.float32)
+
+    def round_body(state):
+        labels, rounds, _changed = state
+        pt_cluster = labels[pr]
+        cemb = segment_mean(emb, pt_cluster, num_regions)
+        la = labels[edges[:, 0]]
+        lb = labels[edges[:, 1]]
+        d2 = jnp.sum((cemb[la] - cemb[lb]) ** 2, axis=-1)
+        passing = (
+            edge_valid
+            & (la != lb)
+            & (d2 < jnp.asarray(threshold, jnp.float32) ** 2)
+        )
+        relabeled = _propagate(
+            labels, jnp.stack([la, lb], axis=1), passing, sweeps
+        )
+        changed = jnp.any(passing)
+        return relabeled, rounds + changed.astype(jnp.int32), changed
+
+    def cond(state):
+        _, rounds, changed = state
+        return changed & (rounds < max_rounds)
+
+    labels, rounds, _ = jax.lax.while_loop(
+        cond, round_body, (labels0, jnp.int32(0), jnp.bool_(True))
+    )
+    return labels, rounds

@@ -44,3 +44,24 @@ def multi_loss(
     l1 = optax.softmax_cross_entropy_with_integer_labels(left_logits, left_labels).mean()
     l2 = optax.softmax_cross_entropy_with_integer_labels(right_logits, right_labels).mean()
     return 0.7 * pair + 0.15 * l1 + 0.15 * l2
+
+
+def triplet_loss(anchor, positive, negative, margin: float = 1.0,
+                 lamda: float = 0.1, belta: float = 0.0):
+    """Triplet variant (the reference's earlier, commented-out forward at
+    ``Losses.py:20-32``): hinge on anchor-positive vs both negatives'
+    squared distances plus a λ-weighted absolute pull term. (The reference's
+    ``distance_negative_1`` accidentally sums over the whole batch — here it
+    is the intended per-sample distance.)"""
+    import jax
+
+    a = anchor.astype(jnp.float32)
+    p = positive.astype(jnp.float32)
+    n = negative.astype(jnp.float32)
+    d_ap = jnp.sum((a - p) ** 2, axis=1)
+    d_an = jnp.sum((a - n) ** 2, axis=1)
+    d_pn = jnp.sum((p - n) ** 2, axis=1)
+    l1 = jax.nn.relu(d_ap - d_an + margin)
+    l2 = jax.nn.relu(d_ap - d_pn + margin)
+    l3 = lamda * jax.nn.relu(d_ap - belta)
+    return (l1 + l2 + l3).mean()

@@ -159,3 +159,85 @@ class PairSampler:
 
     def __len__(self) -> int:
         return len(self.pairs)
+
+
+class TripletSampler:
+    """Anchor/positive/negative triplet batches of 3-context crops.
+
+    Device-side equivalent of the legacy triplet dataset
+    (``MyUtils.py:23-268``): each drawn point yields (inner, object, scene)
+    context crops resized to a fixed size; anchors/positives share a ground
+    object, negatives differ (``GenerateTrainDataset.py:39-68`` sampling).
+    """
+
+    def __init__(self, scene: Scene, cfg: DataConfig, crop_size: int = 224):
+        self.scene = scene
+        self.cfg = cfg
+        self.crop_size = crop_size
+        self.device_scene = stage_scene(scene, cfg)
+        assert scene.object_of_region is not None
+        self.point_object = scene.object_of_region[scene.regions.point_region]
+
+    def _context_patches(self, point_idx: np.ndarray):
+        ds = self.device_scene
+        inner = ds.point_inner[point_idx].astype(np.int64)
+        obj = ds.point_object[point_idx].astype(np.int64)
+        scene_scale = 2 * obj - inner
+        scales = np.stack([inner, obj, scene_scale], 1).astype(np.int32)
+        return extract_multiscale_patches(
+            ds.padded,
+            jnp.asarray(ds.points_yx[point_idx]),
+            jnp.asarray(scales),
+            patch_sizes=(self.crop_size,) * 3,
+            caps=ds.caps[-1],
+            quantize_uint8=self.cfg.quantize_uint8,
+        )
+
+    def epoch_batches(self, epoch_seed: int, batch_size: int):
+        rng = np.random.RandomState(epoch_seed)
+        objs = self.point_object
+        classes = np.unique(objs)
+        if len(classes) < 2:
+            return
+        by_class = {c: np.where(objs == c)[0] for c in classes}
+        n = len(objs)
+        for _ in range(max(n // batch_size, 1)):
+            anchors, positives, negatives = [], [], []
+            for _ in range(batch_size):
+                c_pos, c_neg = rng.choice(classes, 2, replace=False)
+                pool = by_class[c_pos]
+                anchors.append(pool[rng.randint(len(pool))])
+                positives.append(pool[rng.randint(len(pool))])
+                negatives.append(by_class[c_neg][rng.randint(len(by_class[c_neg]))])
+            yield {
+                "anchor": self._context_patches(np.asarray(anchors)),
+                "positive": self._context_patches(np.asarray(positives)),
+                "negative": self._context_patches(np.asarray(negatives)),
+            }
+
+
+class MultiScenePairSampler:
+    """Training pairs across MANY scenes (the reference iterates pair txt
+    files over all training tiles, ``MyUtils1.py:236-295``). Each scene keeps
+    its own HBM staging; epoch batches interleave scenes after a global
+    shuffle so one batch draws from one scene (single compiled shape)."""
+
+    def __init__(self, samplers: list[PairSampler]):
+        assert samplers
+        self.samplers = samplers
+
+    def __len__(self) -> int:
+        return sum(len(s) for s in self.samplers)
+
+    def epoch_batches(self, epoch_seed: int, batch_size: int):
+        rng = np.random.RandomState(epoch_seed)
+        iters = []
+        for i, s in enumerate(self.samplers):
+            it = s.epoch_batches(epoch_seed * 131 + i, batch_size)
+            n = len(s) // batch_size
+            iters.extend([it] * n)
+        rng.shuffle(iters)
+        for it in iters:
+            batch = next(it, None)
+            if batch is not None:
+                yield batch

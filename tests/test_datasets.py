@@ -1,0 +1,103 @@
+"""Pair files, triplet generation, tile export, triplet sampler, triplet loss."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from deepmerge_tpu.geodata.pairgen import (
+    compute_mean_std,
+    export_training_pairs,
+    generate_triplets,
+    read_pair_file,
+    read_triplets,
+    scan_pair_folder,
+    write_pair_file,
+    write_triplets,
+)
+from deepmerge_tpu.geodata.synthetic import generate_scene
+from deepmerge_tpu.geodata.tiles import (
+    export_class_patches,
+    load_patch_shard,
+    split_indices,
+)
+from deepmerge_tpu.train.losses import triplet_loss
+from deepmerge_tpu.train.sampler import TripletSampler
+
+
+def test_pair_file_roundtrip(tmp_path):
+    pairs = np.array([[3, 7], [1, 2], [9, 4]], np.int32)
+    p = str(tmp_path / "pairs.txt")
+    write_pair_file(p, pairs)
+    np.testing.assert_array_equal(read_pair_file(p), pairs)
+
+
+def test_scan_pair_folder(tmp_path):
+    scene = generate_scene(h=96, w=96, n_regions=12, n_objects=4, seed=3)
+    pp, np_ = export_training_pairs(scene, str(tmp_path))
+    files, total = scan_pair_folder(str(tmp_path / "PositiveData"))
+    assert files == 1
+    assert total == len(read_pair_file(pp))
+    assert total + len(read_pair_file(np_)) == scene.rag.num_edges
+
+
+def test_triplet_generation_and_roundtrip(tmp_path):
+    labels = np.array([0, 0, 1, 1, 2, 2, 2])
+    ids = np.arange(7) * 10
+    t = generate_triplets(labels, ids, n=50, seed=1)
+    assert t.shape == (50, 6)
+    # anchor and positive share class, negative differs
+    assert (t[:, 0] == t[:, 2]).all()
+    assert (t[:, 0] != t[:, 4]).all()
+    path = str(tmp_path / "triplets.txt")
+    write_triplets(path, t)
+    np.testing.assert_array_equal(read_triplets(path), t)
+
+
+def test_split_indices_deterministic():
+    t1, v1 = split_indices(100, 0.8, seed=42)
+    t2, v2 = split_indices(100, 0.8, seed=42)
+    np.testing.assert_array_equal(t1, t2)
+    assert len(t1) == 80 and len(v1) == 20
+    assert len(np.intersect1d(t1, v1)) == 0
+
+
+def test_export_class_patches(tmp_path, rng):
+    image = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+    centers = np.stack([rng.randint(0, 128, 20), rng.randint(0, 128, 20)], 1)
+    classes = rng.randint(0, 5, 20)
+    out = export_class_patches(
+        str(tmp_path), image, centers, classes, window=32, out_size=16,
+        train_frac=0.75,
+    )
+    assert out["train"] and out["val"]
+    patches, labels = load_patch_shard(out["train"][0])
+    assert patches.shape[1:] == (16, 16, 3)
+    assert patches.min() >= 0 and patches.max() <= 1.0
+    assert len(patches) == len(labels) == 15
+
+
+def test_triplet_sampler(tiny_data_cfg):
+    scene = generate_scene(h=128, w=128, n_regions=16, n_objects=4, seed=5)
+    sampler = TripletSampler(scene, tiny_data_cfg, crop_size=32)
+    batch = next(iter(sampler.epoch_batches(epoch_seed=0, batch_size=4)))
+    for key in ("anchor", "positive", "negative"):
+        assert len(batch[key]) == 3  # 3 context crops
+        assert batch[key][0].shape == (4, 32, 32, 3)
+
+
+def test_triplet_loss_values():
+    a = jnp.array([[0.0, 0.0]])
+    p = jnp.array([[0.0, 0.0]])   # d_ap = 0
+    n = jnp.array([[2.0, 0.0]])   # d_an = 4
+    # l1 = relu(0-4+1)=0, l2 = relu(0-4+1)=0, l3 = 0.1*relu(0-0)=0
+    assert float(triplet_loss(a, p, n, margin=1.0)) == 0.0
+    # degenerate: negative == positive -> margin violated
+    loss = float(triplet_loss(a, p, p, margin=1.0))
+    assert loss == 2.0  # l1 = l2 = relu(0-0+1) = 1 each
+
+
+def test_compute_mean_std():
+    p0 = np.full((4, 2, 2, 3), 0.5, np.float32)
+    p1 = np.full((4, 4, 4, 3), 0.25, np.float32)
+    mean, std = compute_mean_std([p0, p1])
+    expected = (0.5 * 16 + 0.25 * 64) / 80
+    np.testing.assert_allclose(mean, [expected] * 3, rtol=1e-5)

@@ -100,3 +100,26 @@ def test_merge_engine_no_merges_when_threshold_zero(rng):
     result = MergeEngine(threshold=0.0, max_rounds=4).run(pts, point_region, 6, edges)
     assert result.num_clusters == 6
     np.testing.assert_array_equal(result.region_to_cluster, np.arange(6))
+
+
+def test_device_merge_matches_host_engine():
+    """The one-dispatch device merge yields the same partition as the host
+    union-find engine."""
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.infer.merge import merge_scene, merge_scene_device
+
+    scene = generate_scene(h=128, w=128, n_regions=40, n_objects=6, seed=9)
+    r = np.random.RandomState(0)
+    emb = r.randn(scene.regions.num_points, 8).astype(np.float32)
+    # make same-object points close so merges actually happen
+    obj = scene.object_of_region[scene.regions.point_region]
+    emb = emb * 0.05 + np.eye(8, dtype=np.float32)[obj % 8] * 3
+
+    for thr in (0.5, 1.0, 3.0):
+        host = merge_scene(scene, emb, threshold=thr, max_rounds=8)
+        dev = merge_scene_device(scene, emb, threshold=thr, max_rounds=8)
+        assert host.num_clusters == dev.num_clusters, thr
+        # identical partitions (both engines use min-id canonical labels)
+        np.testing.assert_array_equal(
+            host.region_to_cluster, dev.region_to_cluster
+        )

@@ -87,3 +87,21 @@ def test_tp_params_actually_sharded(tiny_model_cfg):
     # sharded on the output (model) dim: each shard holds half the columns
     shard_shapes = {s.data.shape for s in qkv.addressable_shards}
     assert shard_shapes == {(qkv.shape[0], qkv.shape[1] // 2)}
+
+
+def test_sharded_extraction_matches_single_device(tiny_model_cfg, tiny_data_cfg,
+                                                  small_scene):
+    """Mesh-sharded (shard_map) extraction == single-device extraction."""
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.models.s2former import init_params
+
+    model = build_model(tiny_model_cfg)
+    variables = init_params(model, jax.random.key(0))
+    single = FeatureExtractor(model, variables["params"], batch_size=16)
+    emb1 = single.extract_scene(small_scene, tiny_data_cfg)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = FeatureExtractor(model, variables["params"], batch_size=16,
+                               mesh=mesh)
+    emb2 = sharded.extract_scene(small_scene, tiny_data_cfg)
+    np.testing.assert_allclose(emb1, emb2, atol=1e-5)
