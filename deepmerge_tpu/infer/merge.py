@@ -120,10 +120,38 @@ class MergeEngine:
         num_regions: int,
         edges: np.ndarray,
     ) -> MergeResult:
+        return self.run_from(point_embeddings, point_region, num_regions, edges)
+
+    def run_from(
+        self,
+        point_embeddings: np.ndarray,
+        point_region: np.ndarray,
+        num_regions: int,
+        edges: np.ndarray,
+        initial_labels: np.ndarray | None = None,
+    ) -> MergeResult:
+        """Merge rounds starting from an existing partition (dense labels).
+
+        Used by the sharded mosaic path to resolve shard-local partitions
+        into the global fixpoint.
+        """
         point_region = np.asarray(point_region, np.int64)
-        cur_labels = np.arange(num_regions, dtype=np.int64)  # region→cluster
+        if initial_labels is None:
+            cur_labels = np.arange(num_regions, dtype=np.int64)
+        else:
+            cur_labels = np.asarray(initial_labels, np.int64).copy()
         cur_edges = np.asarray(edges, np.int64)
-        n_clusters = num_regions
+        # contract edges through the initial partition
+        if initial_labels is not None:
+            remapped = cur_labels[cur_edges]
+            keep = remapped[:, 0] != remapped[:, 1]
+            remapped = remapped[keep]
+            lo = np.minimum(remapped[:, 0], remapped[:, 1])
+            hi = np.maximum(remapped[:, 0], remapped[:, 1])
+            cur_edges = np.unique(np.stack([lo, hi], 1), axis=0)
+        n_clusters = (
+            int(cur_labels.max()) + 1 if initial_labels is not None else num_regions
+        )
         total_scored = 0
         merges = []
         rounds = 0

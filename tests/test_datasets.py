@@ -101,3 +101,26 @@ def test_compute_mean_std():
     mean, std = compute_mean_std([p0, p1])
     expected = (0.5 * 16 + 0.25 * 64) / 80
     np.testing.assert_allclose(mean, [expected] * 3, rtol=1e-5)
+
+
+def test_legacy_harness_mlp(tmp_path):
+    from deepmerge_tpu.train.legacy_harness import synthetic_digits, train_mlp
+
+    x, y = synthetic_digits(n=512, seed=0)
+    h5 = str(tmp_path / "features.h5")
+    params, acc = train_mlp(x, y, epochs=3, batch_size=64, feature_h5=h5,
+                            log_fn=lambda *_: None)
+    assert acc > 0.5  # separable synthetic digits learn fast
+    from deepmerge_tpu.infer.extract import FeatureStore
+
+    feats = FeatureStore.open(h5)
+    assert feats.shape == (512, 250)
+
+
+def test_legacy_harness_gru():
+    from deepmerge_tpu.train.legacy_harness import synthetic_digits, train_gru
+
+    x, y = synthetic_digits(n=256, seed=1)
+    params, acc = train_gru(x, y, epochs=2, batch_size=64,
+                            log_fn=lambda *_: None)
+    assert acc > 0.3

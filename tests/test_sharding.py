@@ -105,3 +105,24 @@ def test_sharded_extraction_matches_single_device(tiny_model_cfg, tiny_data_cfg,
                                mesh=mesh)
     emb2 = sharded.extract_scene(small_scene, tiny_data_cfg)
     np.testing.assert_allclose(emb1, emb2, atol=1e-5)
+
+
+def test_sharded_mosaic_merge_matches_global(small_scene):
+    """Column-sharded mosaic merge (local merges + boundary resolution)
+    reproduces the single-device partition."""
+    from deepmerge_tpu.infer.merge import merge_scene
+    from deepmerge_tpu.parallel.distributed import merge_sharded
+
+    r = np.random.RandomState(1)
+    scene = small_scene
+    obj = scene.object_of_region[scene.regions.point_region]
+    emb = (np.eye(8, dtype=np.float32)[obj % 8] * 4
+           + 0.05 * r.randn(scene.regions.num_points, 8).astype(np.float32))
+
+    want = merge_scene(scene, emb, threshold=1.0, max_rounds=8)
+    for n_shards in (2, 4):
+        got = merge_sharded(scene, emb, n_shards, threshold=1.0, max_rounds=8)
+        assert got.num_clusters == want.num_clusters, n_shards
+        np.testing.assert_array_equal(
+            got.region_to_cluster, want.region_to_cluster
+        )
