@@ -24,30 +24,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
-    block_b, n_heads = q_ref.shape[0], q_ref.shape[1]
-
-    def body(i, _):
-        b = i // n_heads
-        h = i % n_heads
-        q = q_ref[b, h] * scale          # (N, D)
-        logits = (
-            jax.lax.dot_general(
-                q, k_ref[b, h], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bias_ref[h].astype(jnp.float32)
-        )
-        p = jax.nn.softmax(logits, axis=-1).astype(v_ref.dtype)
-        out_ref[b, h] = jnp.dot(
-            p, v_ref[b, h], preferred_element_type=jnp.float32
-        ).astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, block_b * n_heads, body, 0, unroll=False)
+    # loop-free: batched dot_general over the whole (bt, N, D) tile lets
+    # Mosaic schedule the MXU without per-sample loop overhead
+    q = q_ref[:, 0] * scale                          # (bt, N, D)
+    logits = jax.lax.dot_general(
+        q, k_ref[:, 0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    p = jax.nn.softmax(
+        logits + bias_ref[0][None].astype(jnp.float32), axis=-1
+    ).astype(v_ref.dtype)
+    out_ref[:, 0] = jax.lax.dot_general(
+        p, v_ref[:, 0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def fused_attention(q, k, v, bias, block_b: int = 2, interpret: bool = False):
+def fused_attention(q, k, v, bias, block_b: int = 16, interpret: bool = False):
     """softmax(q·kᵀ/√D + bias)·v, fused in VMEM.
 
     Differentiable: the forward runs the Pallas kernel; the backward is a
@@ -114,19 +108,25 @@ def _fused_forward(q, k, v, bias, block_b: int, interpret: bool):
         k = jnp.pad(k, padding)
         v = jnp.pad(v, padding)
 
-    grid = ((b + pad) // block_b,)
+    # grid over (batch tiles, heads): (bt, 1, N, D) blocks keep VMEM tiny so
+    # Mosaic pipelines deeply; trailing (N, D) dims satisfy the tiling rule
+    grid = ((b + pad) // block_b, h)
     spec = pl.BlockSpec(
-        (block_b, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (block_b, 1, n, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[
             spec, spec, spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias: full (H, N, N)
+            pl.BlockSpec((1, n, n), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
     )(q, k, v, bias.astype(jnp.float32))
     return jnp.moveaxis(out[:b] if pad else out, 1, 2)
