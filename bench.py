@@ -52,7 +52,7 @@ def main():
 
     def run_once():
         t = time.perf_counter()
-        emb = extractor.extract_scene(scene, dcfg, device_scene=ds)
+        emb = extractor.extract_scene_device(scene, dcfg, device_scene=ds)
         phases["extract"] = phases.get("extract", 0) + time.perf_counter() - t
         t = time.perf_counter()
         simi = score_scene_edges(scene, emb)

@@ -115,6 +115,7 @@ def process_folder(
 
     model, params, batch_stats = load_params(cfg, checkpoint_path)
     done = []
+    failed: list[tuple[str, str]] = []
     for entry in sorted(os.listdir(shp_folder)):
         sub = os.path.join(shp_folder, entry)
         points = os.path.join(sub, "PointsGCS.shp")
@@ -123,12 +124,18 @@ def process_folder(
         image = os.path.join(image_folder, f"{entry}.tif")
         polygons = os.path.join(shp_folder, f"{entry}.shp")
         lines = os.path.join(sub, "lines.shp")
-        scene = load_scene(image, polygons, points, lines, name=entry)
-        h5 = os.path.join(sub, f"{cfg.model.name}_features.h5")
-        log_fn(f"processing {entry} ({scene.regions.num_points} points)")
-        process_scene(
-            cfg, scene, model, params, batch_stats,
-            h5_path=h5, lines_path=lines, log_fn=log_fn,
-        )
-        done.append(entry)
+        try:
+            scene = load_scene(image, polygons, points, lines, name=entry)
+            h5 = os.path.join(sub, f"{cfg.model.name}_features.h5")
+            log_fn(f"processing {entry} ({scene.regions.num_points} points)")
+            process_scene(
+                cfg, scene, model, params, batch_stats,
+                h5_path=h5, lines_path=lines, log_fn=log_fn,
+            )
+            done.append(entry)
+        except Exception as e:  # one bad scene must not kill the batch walk
+            failed.append((entry, str(e)))
+            log_fn(f"FAILED {entry}: {e}")
+    if failed:
+        log_fn(f"{len(failed)} scene(s) failed: {[f[0] for f in failed]}")
     return done

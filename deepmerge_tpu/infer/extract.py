@@ -189,14 +189,7 @@ class FeatureExtractor:
 
             self._fused = fused_sharded
 
-    def extract_scene(
-        self,
-        scene: Scene,
-        cfg: DataConfig,
-        store: Optional[FeatureStore] = None,
-        device_scene: Optional[DeviceScene] = None,
-    ) -> np.ndarray:
-        """Embed all sample points; returns (P, out_dim) float32 (host)."""
+    def _extract_batches(self, scene, cfg, device_scene):
         from deepmerge_tpu.ops.patches import adaptive_scales
 
         ds = device_scene or stage_scene(scene, cfg)
@@ -205,7 +198,6 @@ class FeatureExtractor:
         targets = tuple(cfg.patch_sizes) + (1,) * (
             cfg.factor_slots - len(cfg.patch_sizes)
         )
-        out = []
         for start in range(0, n, bs):
             idx = np.arange(start, min(start + bs, n))
             pad = bs - len(idx)
@@ -220,10 +212,38 @@ class FeatureExtractor:
                 jnp.asarray(ds.point_features[idx], jnp.float32),
                 caps=ds.caps, quantize=cfg.quantize_uint8,
             )
+            yield emb[: bs - pad] if pad else emb
+
+    def extract_scene(
+        self,
+        scene: Scene,
+        cfg: DataConfig,
+        store: Optional[FeatureStore] = None,
+        device_scene: Optional[DeviceScene] = None,
+    ) -> np.ndarray:
+        """Embed all sample points; returns (P, out_dim) float32 (host)."""
+        out = []
+        for emb in self._extract_batches(scene, cfg, device_scene):
             emb = np.asarray(emb, np.float32)
-            if pad:
-                emb = emb[: bs - pad]
             if store is not None:
                 store.append(emb)
             out.append(emb)
         return np.concatenate(out, axis=0)
+
+    def extract_scene_device(
+        self,
+        scene: Scene,
+        cfg: DataConfig,
+        device_scene: Optional[DeviceScene] = None,
+    ) -> jnp.ndarray:
+        """Embed all sample points, KEEPING the result on device.
+
+        Feeds region pooling / edge scoring / merge without any
+        device↔host round-trip of the embedding matrix.
+        """
+        chunks = list(self._extract_batches(scene, cfg, device_scene))
+        return (
+            chunks[0].astype(jnp.float32)
+            if len(chunks) == 1
+            else jnp.concatenate(chunks, axis=0).astype(jnp.float32)
+        )

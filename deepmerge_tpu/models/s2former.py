@@ -102,12 +102,13 @@ class Mlp(nn.Module):
     dim: int
     hidden: int
     drop: float = 0.0
+    exact_gelu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden, kernel_init=_trunc02, dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=not self.exact_gelu)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, kernel_init=_trunc02, dtype=self.dtype)(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
@@ -217,6 +218,7 @@ class CrossScaleBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fused: bool = True
+    exact_gelu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -233,7 +235,8 @@ class CrossScaleBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(
             dim=self.dim, hidden=int(self.dim * self.mlp_ratio),
-            drop=self.drop, dtype=self.dtype, name="mlp",
+            drop=self.drop, exact_gelu=self.exact_gelu, dtype=self.dtype,
+            name="mlp",
         )(y, deterministic)
         return x + dp(y, deterministic)
 
@@ -265,7 +268,8 @@ class FeatureEmbed(nn.Module):
     """19-d designed features → embed_dim token.
 
     nets/ShfitScaleFormer.py:60-82: three 1×1 Conv1d (== dense over the
-    feature axis) with GELU after the first only.
+    feature axis) with GELU after the first only. (Tiny tensor — exact GELU
+    kept for parity.)
     """
 
     dim: int
@@ -390,6 +394,7 @@ class S2Former(nn.Module):
                     attn_drop=cfg.attn_drop_ratio,
                     drop_path=(drop_path[i] if drop_path else 0.0),
                     fused=cfg.fused_attention,
+                    exact_gelu=cfg.exact_gelu,
                     dtype=dtype, name=f"{tag}_{i}",
                 )
                 for i in range(depth)
