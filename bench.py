@@ -25,8 +25,9 @@ def main():
     from deepmerge_tpu.config import Config, DataConfig, ModelConfig
     from deepmerge_tpu.geodata.synthetic import generate_scene
     from deepmerge_tpu.infer.extract import FeatureExtractor
-    from deepmerge_tpu.infer.merge import merge_scene_device
-    from deepmerge_tpu.infer.scoring import score_scene_edges
+    import jax.numpy as jnp
+
+    from deepmerge_tpu.ops.labelprop import device_score_and_merge
     from deepmerge_tpu.models.s2former import build_model, init_params
     from deepmerge_tpu.train.sampler import stage_scene
 
@@ -50,19 +51,33 @@ def main():
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
     phases = {}
 
+    edges = scene.rag.edges.astype(np.int32)
+    pad = (-len(edges)) % 2048
+    edge_valid = np.ones(len(edges), bool)
+    if pad:
+        edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+        edge_valid = np.concatenate([edge_valid, np.zeros(pad, bool)])
+    edges_dev = jnp.asarray(edges)
+    valid_dev = jnp.asarray(edge_valid)
+    pr_dev = jnp.asarray(scene.regions.point_region, jnp.int32)
+
     def run_once():
         t = time.perf_counter()
         emb = extractor.extract_scene_device(scene, dcfg, device_scene=ds)
         phases["extract"] = phases.get("extract", 0) + time.perf_counter() - t
         t = time.perf_counter()
-        simi = score_scene_edges(scene, emb)
-        thr = float(np.median(simi))
-        phases["score"] = phases.get("score", 0) + time.perf_counter() - t
+        # ONE dispatch: pool + score + median threshold + merge rounds
+        simi, labels, rounds = device_score_and_merge(
+            emb, pr_dev, edges_dev, valid_dev,
+            num_regions=scene.regions.num_regions, max_rounds=8,
+        )
+        labels = np.asarray(labels)
+        phases["score+merge"] = phases.get("score+merge", 0) + time.perf_counter() - t
         t = time.perf_counter()
-        result = merge_scene_device(scene, emb, threshold=thr, max_rounds=8)
-        _ = result.label_map(scene)
-        phases["merge"] = phases.get("merge", 0) + time.perf_counter() - t
-        return result
+        uniq, dense = np.unique(labels, return_inverse=True)
+        _ = dense.astype(np.int32)[scene.labels]  # merged label map
+        phases["labelmap"] = phases.get("labelmap", 0) + time.perf_counter() - t
+        return int(rounds)
 
     run_once()  # warmup / compile
     phases.clear()

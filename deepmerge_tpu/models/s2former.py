@@ -160,22 +160,31 @@ class CrossScaleAttention(nn.Module):
             f"sequence {n} != cube tokens {self.rel_index.shape[0]}"
         )
         head_dim = c // self.num_heads
-        qkv = self.qkv(x).reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, H, d)
+        qkv_packed = self.qkv(x)  # (b, n, 3c)
         bias = self.bias_table[self.rel_index.reshape(-1)].reshape(
             n, n, self.num_heads
         ).transpose(2, 0, 1)
 
-        if self.fused and deterministic and not self.extra_token:
-            # inference path: fused VMEM attention (no HBM logits tensor).
-            # Training falls through to the differentiable XLA path.
-            from deepmerge_tpu.ops.pallas.fused_attention import fused_attention
+        use_fused = (
+            self.fused
+            and not self.extra_token
+            and (deterministic or self.attn_drop == 0.0)
+        )
+        if use_fused:
+            # fused VMEM attention straight from the packed qkv projection:
+            # no HBM logits tensor, no q/k/v transposes/slices.
+            from deepmerge_tpu.ops.pallas.fused_attention import (
+                fused_attention_qkv,
+            )
             from deepmerge_tpu.ops.pallas.window_gather import default_interpret
 
-            out = fused_attention(
-                q, k, v, bias, interpret=default_interpret()
-            ).reshape(b, n, c)
+            out = fused_attention_qkv(
+                qkv_packed, bias, heads=self.num_heads,
+                interpret=default_interpret(),
+            )
         else:
+            qkv = qkv_packed.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, H, d)
             q = q * (head_dim ** -0.5)
             attn = jnp.einsum(
                 "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32

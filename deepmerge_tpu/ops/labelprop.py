@@ -50,6 +50,45 @@ def _propagate(labels, edges, valid, sweeps: int):
 @functools.partial(
     jax.jit, static_argnames=("num_regions", "max_rounds", "sweeps")
 )
+def device_score_and_merge(
+    point_embeddings,
+    point_region,
+    edges,
+    edge_valid,
+    num_regions: int,
+    max_rounds: int = 16,
+    sweeps: int = 16,
+    threshold_quantile: float = 0.5,
+):
+    """ONE dispatch for the whole scoring+merge tail of the pipeline:
+
+    initial region pooling → edge distances (the ``simi`` attribute) →
+    threshold = quantile of valid distances → iterative device merge.
+
+    Returns (simi (E,), labels (R,), rounds).
+    """
+    emb = point_embeddings.astype(jnp.float32)
+    pr = point_region.astype(jnp.int32)
+    remb = segment_mean(emb, pr, num_regions)
+    d2 = jnp.sum((remb[edges[:, 0]] - remb[edges[:, 1]]) ** 2, axis=-1)
+    simi = jnp.sqrt(jnp.maximum(d2, 0.0))
+    valid_sorted = jnp.sort(jnp.where(edge_valid, simi, jnp.inf))
+    n_valid = jnp.sum(edge_valid)
+    q_idx = jnp.clip(
+        (threshold_quantile * (n_valid - 1)).astype(jnp.int32), 0,
+        simi.shape[0] - 1,
+    )
+    threshold = valid_sorted[q_idx]
+    labels, rounds = device_merge(
+        emb, pr, edges, edge_valid, threshold,
+        num_regions=num_regions, max_rounds=max_rounds, sweeps=sweeps,
+    )
+    return simi, labels, rounds
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_regions", "max_rounds", "sweeps")
+)
 def device_merge(
     point_embeddings,
     point_region,

@@ -130,3 +130,117 @@ def _fused_forward(q, k, v, bias, block_b: int, interpret: bool):
         ),
     )(q, k, v, bias.astype(jnp.float32))
     return jnp.moveaxis(out[:b] if pad else out, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# v4: qkv-fused kernel — takes the raw (B, N, 3C) qkv projection, splits and
+# de-interleaves heads INSIDE VMEM. Kills the four XLA HBM transposes and the
+# three q/k/v HBM slice materializations of the (B, N, H, D) path.
+# ---------------------------------------------------------------------------
+
+def _attn_qkv_kernel(qkv_ref, bias_ref, out_ref, *, heads: int, scale: float):
+    bt, n, three_c = qkv_ref.shape
+    c = three_c // 3
+    d = c // heads
+    x = qkv_ref[...]
+    bias = bias_ref[...].astype(jnp.float32)  # (H, N, N)
+
+    outs = []
+    for h in range(heads):  # static unroll; lane slices are VMEM-local
+        q = x[:, :, h * d : (h + 1) * d] * scale
+        k = x[:, :, c + h * d : c + (h + 1) * d]
+        v = x[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        p = jax.nn.softmax(logits + bias[h][None], axis=-1).astype(x.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_b", "interpret"))
+def fused_attention_qkv(qkv, bias, heads: int, block_b: int = 2,
+                        interpret: bool = False):
+    """softmax(q·kᵀ/√D + bias)·v straight from the packed qkv projection.
+
+    Differentiable (custom VJP recomputes with XLA ops in the backward).
+
+    Args:
+      qkv: (B, N, 3·C) — the qkv Dense output, heads interleaved as
+        (H, D) within each C block.
+      bias: (H, N, N) additive bias (float32).
+      heads: static head count.
+
+    Returns:
+      (B, N, C) attention output in qkv's dtype.
+    """
+    return _fused_qkv_vjp(qkv, bias, heads, block_b, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_qkv_vjp(qkv, bias, heads, block_b, interpret):
+    return _fused_qkv_forward(qkv, bias, heads, block_b, interpret)
+
+
+def _split_qkv(qkv, heads):
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    d = c // heads
+    q = qkv[:, :, :c].reshape(b, n, heads, d)
+    k = qkv[:, :, c : 2 * c].reshape(b, n, heads, d)
+    v = qkv[:, :, 2 * c :].reshape(b, n, heads, d)
+    return q, k, v
+
+
+def _fused_qkv_fwd(qkv, bias, heads, block_b, interpret):
+    return _fused_qkv_forward(qkv, bias, heads, block_b, interpret), (qkv, bias)
+
+
+def _fused_qkv_bwd(heads, block_b, interpret, res, g):
+    qkv, bias = res
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    q, k, v = _split_qkv(qkv, heads)
+    g4 = g.reshape(b, n, heads, c // heads)
+    dq, dk, dv, dbias = _fused_attention_bwd(block_b, interpret, (q, k, v, bias), g4)
+    dqkv = jnp.concatenate(
+        [dq.reshape(b, n, c), dk.reshape(b, n, c), dv.reshape(b, n, c)], axis=2
+    )
+    return dqkv.astype(qkv.dtype), dbias
+
+
+_fused_qkv_vjp.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def _fused_qkv_forward(qkv, bias, heads, block_b, interpret):
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    d = c // heads
+    scale = d ** -0.5
+    block_b = min(block_b, max(b, 1))
+    pad = (-b) % block_b
+    if pad:
+        qkv = jnp.pad(qkv, [(0, pad), (0, 0), (0, 0)])
+    out = pl.pallas_call(
+        functools.partial(_attn_qkv_kernel, heads=heads, scale=scale),
+        grid=((b + pad) // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, n, three_c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b + pad, n, c), qkv.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(qkv, bias.astype(jnp.float32))
+    return out[:b] if pad else out

@@ -123,3 +123,38 @@ def test_device_merge_matches_host_engine():
         np.testing.assert_array_equal(
             host.region_to_cluster, dev.region_to_cluster
         )
+
+
+def test_device_score_and_merge_single_dispatch():
+    """The one-dispatch pool+score+threshold+merge agrees with its parts."""
+    import jax.numpy as jnp
+
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.infer.merge import merge_scene_device
+    from deepmerge_tpu.infer.scoring import score_scene_edges
+    from deepmerge_tpu.ops.labelprop import device_score_and_merge
+
+    scene = generate_scene(h=96, w=96, n_regions=20, n_objects=4, seed=2)
+    r = np.random.RandomState(0)
+    emb = r.randn(scene.regions.num_points, 8).astype(np.float32)
+
+    e = scene.rag.edges.astype(np.int32)
+    pad = (-len(e)) % 64
+    valid = np.ones(len(e), bool)
+    if pad:
+        e = np.concatenate([e, np.zeros((pad, 2), np.int32)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    simi, labels, rounds = device_score_and_merge(
+        jnp.asarray(emb), jnp.asarray(scene.regions.point_region, jnp.int32),
+        jnp.asarray(e), jnp.asarray(valid),
+        num_regions=scene.regions.num_regions, max_rounds=8,
+    )
+    simi = np.asarray(simi)[: scene.rag.num_edges]
+    want_simi = score_scene_edges(scene, emb)
+    np.testing.assert_allclose(simi, want_simi, rtol=1e-5, atol=1e-6)
+
+    thr = float(np.sort(want_simi)[(len(want_simi) - 1) // 2])
+    want = merge_scene_device(scene, emb, threshold=thr, max_rounds=8)
+    got = np.asarray(labels)
+    _, dense = np.unique(got, return_inverse=True)
+    np.testing.assert_array_equal(dense, want.region_to_cluster)
