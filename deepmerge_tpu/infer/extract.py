@@ -20,7 +20,7 @@ import numpy as np
 from deepmerge_tpu.config import DataConfig
 from deepmerge_tpu.geodata.types import Scene
 from deepmerge_tpu.ops.patches import extract_multiscale_patches
-from deepmerge_tpu.train.sampler import DeviceScene, point_batch, stage_scene
+from deepmerge_tpu.train.sampler import DeviceScene, stage_scene
 
 try:
     import h5py

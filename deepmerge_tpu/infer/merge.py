@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from deepmerge_tpu.geodata.types import Scene
-from deepmerge_tpu.infer.scoring import region_embeddings, score_edges
 from deepmerge_tpu.ops.segment import edge_distances, segment_mean
 
 try:

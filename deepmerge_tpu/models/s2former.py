@@ -29,7 +29,7 @@ Variant map (all cited against nets/ShfitScaleFormer.py):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

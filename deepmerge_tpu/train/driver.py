@@ -7,7 +7,7 @@ orbax checkpoints at the reference cadence, loss-history logging.
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -16,8 +16,7 @@ TPU-native redesign of ``Train_SMT.py:143-394``:
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -92,3 +92,41 @@ def test_epoch_resampling_changes_points(small_scene, tiny_data_cfg):
     np.testing.assert_array_equal(
         np.asarray(b0["left_designed"]), np.asarray(b0b["left_designed"])
     )
+
+
+def test_training_learns_pair_separation(tiny_model_cfg, tiny_data_cfg):
+    """After a short training run, positive pairs must be measurably closer
+    than negative pairs (the learned merge criterion actually learns)."""
+    scene = __import__(
+        "deepmerge_tpu.geodata.synthetic", fromlist=["generate_scene"]
+    ).generate_scene(h=160, w=160, n_regions=36, n_objects=4, seed=21,
+                     noise=4.0)
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    model = build_model(tiny_model_cfg)
+    state = create_train_state(model, cfg, jax.random.key(0), steps_per_epoch=4)
+    step = make_train_step(model, cfg)
+    pos, neg = make_training_pairs(scene)
+    sampler = PairSampler(scene, pos, neg, tiny_data_cfg)
+    rng = jax.random.key(3)
+
+    def separation(params):
+        from deepmerge_tpu.infer.extract import FeatureExtractor
+        from deepmerge_tpu.infer.scoring import score_scene_edges
+
+        emb = FeatureExtractor(model, params, batch_size=32).extract_scene(
+            scene, tiny_data_cfg
+        )
+        simi = score_scene_edges(scene, emb)
+        obj = scene.object_of_region
+        e = scene.rag.edges
+        same = obj[e[:, 0]] == obj[e[:, 1]]
+        # AUC-like: P(neg distance > pos distance)
+        d_pos, d_neg = simi[same], simi[~same]
+        return float((d_neg[None, :] > d_pos[:, None]).mean())
+
+    auc_before = separation(state.params)
+    for epoch in range(6):
+        for batch in sampler.epoch_batches(epoch, batch_size=16):
+            state, _ = step(state, batch, rng)
+    auc_after = separation(state.params)
+    assert auc_after > max(auc_before, 0.65), (auc_before, auc_after)
