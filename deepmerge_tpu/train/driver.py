@@ -25,21 +25,35 @@ from deepmerge_tpu.train.sampler import PairSampler
 
 def train(
     cfg: Config,
-    scene: Optional[Scene] = None,
+    scene: Optional[Scene | list[Scene]] = None,
     pos_pairs: Optional[np.ndarray] = None,
     neg_pairs: Optional[np.ndarray] = None,
     use_mesh: bool = False,
     max_steps_per_epoch: Optional[int] = None,
     log_fn=print,
 ):
-    """Train the configured model; returns (state, history)."""
+    """Train the configured model; returns (state, history).
+
+    ``scene`` may be a list of Scenes (the reference trains over many tiles,
+    ``MyUtils1.py:236-295``) — pairs are then sampled per scene and batches
+    interleaved.
+    """
     if scene is None:
         scene = generate_scene(seed=cfg.train.seed)
-    if pos_pairs is None or neg_pairs is None:
-        pos_pairs, neg_pairs = make_training_pairs(scene)
 
     model = build_model(cfg.model)
-    sampler = PairSampler(scene, pos_pairs, neg_pairs, cfg.data)
+    if isinstance(scene, list):
+        from deepmerge_tpu.train.sampler import MultiScenePairSampler
+
+        subs = []
+        for s in scene:
+            p, n = make_training_pairs(s)
+            subs.append(PairSampler(s, p, n, cfg.data))
+        sampler = MultiScenePairSampler(subs)
+    else:
+        if pos_pairs is None or neg_pairs is None:
+            pos_pairs, neg_pairs = make_training_pairs(scene)
+        sampler = PairSampler(scene, pos_pairs, neg_pairs, cfg.data)
     steps_per_epoch = max(len(sampler) // cfg.data.batch_size, 1)
     state = create_train_state(
         model, cfg, jax.random.key(cfg.train.seed), steps_per_epoch

@@ -77,3 +77,30 @@ def test_extract_batch_padding(tiny_model_cfg, tiny_data_cfg):
         scene, tiny_data_cfg
     )
     np.testing.assert_allclose(emb, emb2, atol=1e-5)
+
+
+def test_four_band_scene_end_to_end():
+    """4-band multispectral scenes (BASELINE config #4) work end-to-end."""
+    from deepmerge_tpu.config import DataConfig, ModelConfig
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.infer.scoring import score_scene_edges
+    from deepmerge_tpu.models.s2former import init_params
+
+    scene = generate_scene(h=96, w=96, n_regions=10, n_objects=3, seed=4,
+                           channels=4)
+    assert scene.image.shape[-1] == 4
+    mcfg = ModelConfig(
+        variant="v3", input_image_scales=(16, 32, 64), cube=8, embed_dim=32,
+        depth=(1, 1, 1), num_heads=4, out_dim=8, in_channels=4,
+        dtype="float32",
+    )
+    dcfg = DataConfig(patch_sizes=(16, 32, 64), max_window=128, channels=4,
+                      eval_batch_size=8)
+    model = build_model(mcfg)
+    variables = init_params(model, jax.random.key(0))
+    emb = FeatureExtractor(model, variables["params"], batch_size=8).extract_scene(
+        scene, dcfg
+    )
+    assert emb.shape == (scene.regions.num_points, 8)
+    simi = score_scene_edges(scene, emb)
+    assert np.isfinite(simi).all()

@@ -130,3 +130,23 @@ def test_training_learns_pair_separation(tiny_model_cfg, tiny_data_cfg):
             state, _ = step(state, batch, rng)
     auc_after = separation(state.params)
     assert auc_after > max(auc_before, 0.65), (auc_before, auc_after)
+
+
+def test_multi_scene_training(tiny_model_cfg, tiny_data_cfg):
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.train.driver import train
+
+    scenes = [
+        generate_scene(h=128, w=128, n_regions=16, n_objects=4, seed=s)
+        for s in (1, 2)
+    ]
+    import dataclasses
+
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, num_epochs=1, checkpoint_every=100,
+        checkpoint_dir="/tmp/ms_ckpt", log_dir="/tmp/ms_logs"))
+    state, history = train(cfg, scene=scenes, max_steps_per_epoch=2,
+                           log_fn=lambda *_: None)
+    assert len(history.train_losses) == 1
+    assert np.isfinite(history.train_losses[0])
