@@ -118,7 +118,16 @@ class MergeConfig:
     """Iterative merge engine configuration."""
 
     threshold: float = 1.0                    # merge edges with distance < threshold
+    threshold_quantile: float | None = None   # if set, threshold = this quantile
+                                              # of the initial edge distances
     max_rounds: int = 16
+
+    def __post_init__(self):
+        q = self.threshold_quantile
+        if q is not None and not (0.0 <= q <= 1.0):
+            raise ValueError(
+                f"merge.threshold_quantile must be in [0, 1], got {q}"
+            )
     edge_batch: int = 8192                    # padded edge-batch size per scoring call
     engine: str = "device"                    # "device" (one-dispatch label-prop) | "host" (union-find)
 

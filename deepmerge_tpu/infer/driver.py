@@ -77,19 +77,27 @@ def process_scene(
 
     result = None
     if do_merge:
+        thr = cfg.merge.threshold
+        if cfg.merge.threshold_quantile is not None and len(simi):
+            # method='lower' matches the on-device quantile in
+            # ops/labelprop.device_score_and_merge (floor-index), keeping
+            # bench and driver partitions identical for the same config
+            thr = float(
+                np.quantile(simi, cfg.merge.threshold_quantile, method="lower")
+            )
         with phase_timer(timings, "merge"):
             if cfg.merge.engine == "device":
                 from deepmerge_tpu.infer.merge import merge_scene_device
 
                 result = merge_scene_device(
                     scene, emb,
-                    threshold=cfg.merge.threshold,
+                    threshold=thr,
                     max_rounds=cfg.merge.max_rounds,
                 )
             else:
                 result = merge_scene(
                     scene, emb,
-                    threshold=cfg.merge.threshold,
+                    threshold=thr,
                     max_rounds=cfg.merge.max_rounds,
                     edge_batch=cfg.merge.edge_batch,
                 )
