@@ -31,8 +31,8 @@ def main():
     from deepmerge_tpu.models.s2former import build_model, init_params
     from deepmerge_tpu.train.sampler import stage_scene
 
-    H = W = 1024           # 1.05 MPix scene
-    N_REGIONS = 2048       # ~2k superpixels per MPix (BASELINE.json configs)
+    H = W = 2048           # 4.2 MPix scene
+    N_REGIONS = 8192       # ~2k superpixels per MPix (BASELINE.json configs)
     POINTS_PER_REGION = 1
     BATCH = 2048
 
@@ -42,7 +42,7 @@ def main():
     variables = init_params(model, jax.random.key(0), batch=2)
 
     scene = generate_scene(
-        h=H, w=W, n_regions=N_REGIONS, n_objects=128,
+        h=H, w=W, n_regions=N_REGIONS, n_objects=256,
         points_per_region=POINTS_PER_REGION, seed=0,
     )
     ds = stage_scene(scene, dcfg)

@@ -19,6 +19,16 @@ from deepmerge_tpu.geodata.types import EdgeList, RegionTable, Scene
 
 def _voronoi_labels(h: int, w: int, sites: np.ndarray) -> np.ndarray:
     """Label each pixel with its nearest site (squared Euclidean)."""
+    if len(sites) > 512:
+        try:  # mosaic-scale scenes: KD-tree nearest-site queries
+            from scipy.spatial import cKDTree
+
+            ys, xs = np.mgrid[0:h, 0:w]
+            pts = np.stack([ys.ravel(), xs.ravel()], 1).astype(np.float64)
+            _, idx = cKDTree(sites).query(pts, workers=-1)
+            return idx.reshape(h, w).astype(np.int32)
+        except Exception:
+            pass
     ys = np.arange(h)[:, None]
     xs = np.arange(w)[None, :]
     best_d = np.full((h, w), np.inf)
