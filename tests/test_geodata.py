@@ -111,3 +111,67 @@ def test_read_window_zero_padded_clipping(rng):
     np.testing.assert_array_equal(win[3:, 2:], arr[:3, :4])
     # fully outside -> all zeros
     assert g.read_window(100, 100, 4, 4).sum() == 0
+
+
+def _craft_tiff(img: np.ndarray, compression: int, payload: bytes) -> bytes:
+    """Handcraft a minimal single-strip TIFF with the given compression."""
+    import struct
+
+    h, w, c = img.shape
+    entries = []
+    n = 9
+    header = 8
+    ifd_size = 2 + n * 12 + 4
+    data_off = header + ifd_size
+
+    def e(tag, typ, count, val):
+        if typ == 3:
+            return struct.pack("<HHIHH", tag, typ, count, val, 0)
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    entries = [
+        e(256, 4, 1, w), e(257, 4, 1, h), e(258, 3, 1, 8),
+        e(259, 3, 1, compression), e(262, 3, 1, 2),
+        e(273, 4, 1, data_off), e(277, 3, 1, c), e(278, 4, 1, h),
+        e(279, 4, 1, len(payload)),
+    ]
+    return (
+        b"II" + np.uint16(42).tobytes() + np.uint32(8).tobytes()
+        + np.uint16(n).tobytes() + b"".join(entries)
+        + np.uint32(0).tobytes() + payload
+    )
+
+
+def test_geotiff_deflate_read(tmp_path, rng):
+    import zlib
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = (rng.rand(9, 11, 3) * 255).astype(np.uint8)
+    raw = _craft_tiff(img, 8, zlib.compress(img.tobytes()))
+    p = tmp_path / "deflate.tif"
+    p.write_bytes(raw)
+    out = read_geotiff(str(p))
+    np.testing.assert_array_equal(out.array, img)
+
+
+def test_geotiff_packbits_read(tmp_path, rng):
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = np.repeat((rng.rand(6, 8, 1) * 255).astype(np.uint8), 1, 2)
+
+    def packbits(data: bytes) -> bytes:  # simple all-literal encoding
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            chunk = data[i : i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+            i += 128
+        return bytes(out)
+
+    raw = _craft_tiff(img, 32773, packbits(img.tobytes()))
+    p = tmp_path / "packbits.tif"
+    p.write_bytes(raw)
+    out = read_geotiff(str(p))
+    np.testing.assert_array_equal(out.array, img)
