@@ -37,6 +37,9 @@ def main(argv=None):
     p_ex.add_argument("--lines")
     p_ex.add_argument("--h5")
     p_ex.add_argument("--checkpoint-dir")
+    p_ex.add_argument("--labels", help="synthetic-layout labels .npy (optional)")
+    p_ex.add_argument("--out-labels", help="write merged label map GeoTIFF here")
+    p_ex.add_argument("--out-png", help="write colorized merged map PNG here")
     p_ex.add_argument("overrides", nargs="*", default=[])
 
     p_pf = sub.add_parser("process-folder")
@@ -71,6 +74,13 @@ def main(argv=None):
             n_objects=args.objects, seed=args.seed,
         )
         paths = export_scene(scene, args.out)
+        import os
+
+        import numpy as np
+
+        labels_path = os.path.join(args.out, f"{scene.name}_labels.npy")
+        np.save(labels_path, scene.labels)
+        paths["labels"] = labels_path
         for k, v in paths.items():
             print(f"{k}: {v}")
         return 0
@@ -106,13 +116,41 @@ def main(argv=None):
         from deepmerge_tpu.geodata.ingest import load_scene
         from deepmerge_tpu.infer.driver import load_params, process_scene
 
-        scene = load_scene(args.image, args.polygons, args.points, args.lines)
+        labels = None
+        if args.labels:
+            import numpy as np
+
+            labels = np.load(args.labels)
+        scene = load_scene(args.image, args.polygons, args.points, args.lines,
+                           labels=labels)
         model, params, bs = load_params(cfg, args.checkpoint_dir)
         emb, simi, result = process_scene(
             cfg, scene, model, params, bs,
             h5_path=args.h5, lines_path=args.lines,
         )
         print(f"embedded {emb.shape[0]} points; scored {len(simi)} edges")
+        if result is not None and (args.out_labels or args.out_png):
+            label_map = result.label_map(scene)
+            if args.out_labels:
+                import numpy as np
+
+                from deepmerge_tpu.geodata.geotiff import write_geotiff
+
+                # label ids as 3-byte little-endian uint8 planes
+                lm = label_map.astype(np.uint32)
+                packed = np.stack(
+                    [lm & 0xFF, (lm >> 8) & 0xFF, (lm >> 16) & 0xFF], -1
+                ).astype(np.uint8)
+                write_geotiff(
+                    args.out_labels, packed,
+                    scene.meta.get("geotransform", (0, 1, 0, 0, 0, -1)),
+                )
+                print(f"merged label map -> {args.out_labels}")
+            if args.out_png:
+                from deepmerge_tpu.utils.viz import save_label_map
+
+                save_label_map(args.out_png, label_map, scene.image)
+                print(f"visualization -> {args.out_png}")
         return 0
 
     if args.cmd == "process-folder":
