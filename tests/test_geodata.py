@@ -175,3 +175,53 @@ def test_geotiff_packbits_read(tmp_path, rng):
     p.write_bytes(raw)
     out = read_geotiff(str(p))
     np.testing.assert_array_equal(out.array, img)
+
+
+def test_geotiff_lzw_read(tmp_path, rng):
+    """LZW decode vs an in-test TIFF-LZW encoder (MSB codes, early change)."""
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    def lzw_encode(data: bytes) -> bytes:
+        CLEAR, EOI = 256, 257
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        nbits = 9
+        out_bits = []
+
+        def emit(code, n):
+            out_bits.append((code, n))
+
+        emit(CLEAR, nbits)
+        w = b""
+        for byte in data:
+            c = bytes([byte])
+            if w + c in table:
+                w = w + c
+            else:
+                emit(table[w], nbits)
+                table[w + c] = next_code
+                next_code += 1
+                # early change: bump width when next_code+1 overflows
+                if next_code + 1 > (1 << nbits) and nbits < 12:
+                    nbits += 1
+                if next_code >= 4094:
+                    emit(CLEAR, nbits)
+                    table = {bytes([i]): i for i in range(256)}
+                    next_code = 258
+                    nbits = 9
+                w = c
+        if w:
+            emit(table[w], nbits)
+        emit(EOI, nbits)
+        bits = ""
+        for code, n in out_bits:
+            bits += format(code, f"0{n}b")
+        bits += "0" * ((8 - len(bits) % 8) % 8)
+        return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    img = (rng.rand(12, 16, 3) * 255).astype(np.uint8)
+    raw = _craft_tiff(img, 5, lzw_encode(img.tobytes()))
+    p = tmp_path / "lzw.tif"
+    p.write_bytes(raw)
+    out = read_geotiff(str(p))
+    np.testing.assert_array_equal(out.array, img)

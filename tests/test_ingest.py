@@ -44,3 +44,48 @@ def test_simi_writeback(tmp_path):
     write_simi(paths["lines"], simi)
     lines = ShapefileTable.read(paths["lines"])
     np.testing.assert_allclose(lines.get_field("simi"), simi, atol=1e-6)
+
+
+def test_process_folder_walks_reference_layout(tmp_path):
+    """Two scenes in the reference folder layout: both get embedded, scored,
+    simi-written and merged by the multi-scene driver."""
+    import dataclasses
+    import os
+
+    from deepmerge_tpu.config import Config, DataConfig, MergeConfig, ModelConfig
+    from deepmerge_tpu.geodata.shapefile import ShapefileTable
+    from deepmerge_tpu.infer.driver import process_folder
+
+    images = tmp_path / "images"
+    shps = tmp_path / "shps"
+    for seed in (1, 2):
+        scene = generate_scene(h=96, w=96, n_regions=10, n_objects=3,
+                               seed=seed, name=f"tile{seed}")
+        paths = export_scene(scene, str(tmp_path / "stage"))
+        os.makedirs(images, exist_ok=True)
+        os.makedirs(shps / scene.name, exist_ok=True)
+        os.rename(paths["image"], images / f"{scene.name}.tif")
+        for ext in (".shp", ".shx", ".dbf"):
+            os.rename(str(tmp_path / "stage" / f"{scene.name}{ext}"),
+                      shps / f"{scene.name}{ext}")
+            for base in ("PointsGCS", "lines"):
+                src = tmp_path / "stage" / scene.name / f"{base}{ext}"
+                if src.exists():
+                    os.rename(str(src), shps / scene.name / f"{base}{ext}")
+
+    cfg = Config(
+        model=ModelConfig(variant="v3", input_image_scales=(16, 32, 64),
+                          cube=8, embed_dim=32, depth=(1, 1, 1), num_heads=4,
+                          out_dim=8, dtype="float32"),
+        data=DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+                        eval_batch_size=16),
+        merge=MergeConfig(engine="host"),
+    )
+    done = process_folder(cfg, str(images), str(shps), log_fn=lambda *_: None)
+    assert done == ["tile1", "tile2"]
+    for name in done:
+        h5 = shps / name / f"{cfg.model.name}_features.h5"
+        assert h5.exists()
+        lines = ShapefileTable.read(str(shps / name / "lines.shp"))
+        assert "simi" in lines.field_names()
+        assert all(v is not None for v in lines.get_field("simi"))
