@@ -121,6 +121,11 @@ def main(argv=None):
             import numpy as np
 
             labels = np.load(args.labels)
+        elif args.out_labels or args.out_png:
+            parser.error(
+                "--out-labels/--out-png need --labels (the superpixel label "
+                "map); without it the merged map would be meaningless"
+            )
         scene = load_scene(args.image, args.polygons, args.points, args.lines,
                            labels=labels)
         model, params, bs = load_params(cfg, args.checkpoint_dir)
@@ -149,8 +154,8 @@ def main(argv=None):
             if args.out_png:
                 from deepmerge_tpu.utils.viz import save_label_map
 
-                save_label_map(args.out_png, label_map, scene.image)
-                print(f"visualization -> {args.out_png}")
+                written = save_label_map(args.out_png, label_map, scene.image)
+                print(f"visualization -> {written}")
         return 0
 
     if args.cmd == "process-folder":

@@ -62,10 +62,12 @@ def process_scene(
         model, params, batch_stats, batch_size=cfg.data.eval_batch_size
     )
     store = FeatureStore(h5_path) if h5_path else None
-    with phase_timer(timings, "extract"):
-        emb = extractor.extract_scene(scene, cfg.data, store)
-    if store is not None:
-        store.close()
+    try:
+        with phase_timer(timings, "extract"):
+            emb = extractor.extract_scene(scene, cfg.data, store)
+    finally:
+        if store is not None:
+            store.close()
 
     with phase_timer(timings, "score"):
         simi = score_scene_edges(scene, emb, cfg.merge.edge_batch)
@@ -144,6 +146,11 @@ def process_folder(
         except Exception as e:  # one bad scene must not kill the batch walk
             failed.append((entry, str(e)))
             log_fn(f"FAILED {entry}: {e}")
+            try:  # don't leave a truncated feature file looking complete
+                if os.path.exists(h5):
+                    os.remove(h5)
+            except (OSError, NameError):
+                pass
     if failed:
         log_fn(f"{len(failed)} scene(s) failed: {[f[0] for f in failed]}")
     return done

@@ -24,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from deepmerge_tpu.ops.segment import segment_mean
+from deepmerge_tpu.ops.segment import edge_distances, segment_mean
 
 
 def _propagate(labels, edges, valid, sweeps: int):
@@ -65,14 +65,13 @@ def device_score_and_merge(
     initial region pooling → edge distances (the ``simi`` attribute) →
     threshold = quantile of valid distances → iterative device merge.
 
-    Returns (simi (E,), labels (R,), rounds).
+    Returns (simi (E,), labels (R,), rounds); padded simi rows are +inf.
     """
     emb = point_embeddings.astype(jnp.float32)
     pr = point_region.astype(jnp.int32)
     remb = segment_mean(emb, pr, num_regions)
-    d2 = jnp.sum((remb[edges[:, 0]] - remb[edges[:, 1]]) ** 2, axis=-1)
-    simi = jnp.sqrt(jnp.maximum(d2, 0.0))
-    valid_sorted = jnp.sort(jnp.where(edge_valid, simi, jnp.inf))
+    simi = edge_distances(remb, edges, edge_valid)  # padded rows score +inf
+    valid_sorted = jnp.sort(simi)
     n_valid = jnp.sum(edge_valid)
     q_idx = jnp.clip(
         (threshold_quantile * (n_valid - 1)).astype(jnp.int32), 0,

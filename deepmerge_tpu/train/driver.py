@@ -43,6 +43,11 @@ def train(
 
     model = build_model(cfg.model)
     if isinstance(scene, list):
+        if pos_pairs is not None or neg_pairs is not None:
+            raise ValueError(
+                "pos_pairs/neg_pairs are only supported with a single scene; "
+                "multi-scene training samples pairs per scene"
+            )
         from deepmerge_tpu.train.sampler import MultiScenePairSampler
 
         subs = []

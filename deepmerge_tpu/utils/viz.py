@@ -14,8 +14,11 @@ def colorize_labels(labels: np.ndarray, seed: int = 0) -> np.ndarray:
 
 
 def save_label_map(path: str, labels: np.ndarray, image: np.ndarray | None = None,
-                   alpha: float = 0.5, seed: int = 0) -> None:
-    """Write the colorized label map (optionally blended over the image)."""
+                   alpha: float = 0.5, seed: int = 0) -> str:
+    """Write the colorized label map (optionally blended over the image).
+
+    Returns the path actually written (a .tif sibling when matplotlib is
+    unavailable). Real write errors propagate."""
     rgb = colorize_labels(labels, seed).astype(np.float32)
     if image is not None:
         rgb = alpha * rgb + (1 - alpha) * image[..., :3].astype(np.float32)
@@ -25,9 +28,13 @@ def save_label_map(path: str, labels: np.ndarray, image: np.ndarray | None = Non
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-
-        plt.imsave(path, out)
-    except Exception:
+    except ImportError:
         from deepmerge_tpu.geodata.geotiff import write_geotiff
 
-        write_geotiff(path + ".tif", out)
+        import os
+
+        fallback = os.path.splitext(path)[0] + ".tif"
+        write_geotiff(fallback, out)
+        return fallback
+    plt.imsave(path, out)
+    return path
