@@ -39,9 +39,9 @@ def _ln(x, params, eps=1e-6):
     return (x - mu) / torch.sqrt(var + eps) * _t(params["scale"]) + _t(params["bias"])
 
 
-def _attention(x, p, cube):
+def _attention(x, p, cube, heads=None):
     b, n, c = x.shape
-    heads = CFG.num_heads
+    heads = heads or CFG.num_heads
     d = c // heads
     qkv = _linear(x, p["qkv"]).reshape(b, n, 3, heads, d).permute(2, 0, 3, 1, 4)
     q, k, v = qkv[0] * d ** -0.5, qkv[1], qkv[2]
@@ -53,9 +53,9 @@ def _attention(x, p, cube):
     return _linear(out, p["proj"])
 
 
-def _block(x, p, cube):
+def _block(x, p, cube, heads=None):
     y = _ln(x, p["norm1"])
-    x = x + _attention(y, p["attn"], cube)
+    x = x + _attention(y, p["attn"], cube, heads)
     y = _ln(x, p["norm2"])
     h = F.gelu(_linear(y, p["mlp"]["Dense_0"]), approximate="tanh")
     return x + _linear(h, p["mlp"]["Dense_1"])
@@ -67,11 +67,12 @@ def _pool2x2(x, n_scales, g):
     return x.mean(dim=(3, 5)).reshape(b, n_scales * (g // 2) ** 2, d)
 
 
-def torch_oracle(params, patches, designed):
-    n = CFG.n_scales
-    g = CFG.cube
+def torch_oracle(params, patches, designed, cfg=None):
+    cfg = cfg or CFG
+    n = cfg.n_scales
+    g = cfg.cube
     toks = []
-    for i, s in enumerate(CFG.input_image_scales):
+    for i, s in enumerate(cfg.input_image_scales):
         p = s // g
         x = _t(patches[i])  # (B, s, s, C)
         b = x.shape[0]
@@ -81,14 +82,14 @@ def torch_oracle(params, patches, designed):
     x = torch.cat(toks, dim=1)
 
     shared_ln = params["norm"]
-    for i in range(CFG.depth[0]):
-        x = _block(x, params[f"blocks0_{i}"], (n, g, g))
+    for i in range(cfg.depth[0]):
+        x = _block(x, params[f"blocks0_{i}"], (n, g, g), cfg.num_heads)
     x = _ln(_pool2x2(x, n, g), shared_ln)
-    for i in range(CFG.depth[1]):
-        x = _block(x, params[f"blocks1_{i}"], (n, g // 2, g // 2))
+    for i in range(cfg.depth[1]):
+        x = _block(x, params[f"blocks1_{i}"], (n, g // 2, g // 2), cfg.num_heads)
     x = _ln(_pool2x2(x, n, g // 2), shared_ln)
-    for i in range(CFG.depth[2]):
-        x = _block(x, params[f"blocks2_{i}"], (n, g // 4, g // 4))
+    for i in range(cfg.depth[2]):
+        x = _block(x, params[f"blocks2_{i}"], (n, g // 4, g // 4), cfg.num_heads)
     x = _ln(x, shared_ln)
 
     g2 = g // 4
