@@ -64,7 +64,8 @@ def main():
     def run_once():
         t = time.perf_counter()
         emb = extractor.extract_scene_device(scene, dcfg, device_scene=ds)
-        jax.block_until_ready(emb)  # honest phase attribution (async dispatch)
+        if verbose:  # honest phase attribution costs the extract/merge overlap
+            jax.block_until_ready(emb)
         phases["extract"] = phases.get("extract", 0) + time.perf_counter() - t
         t = time.perf_counter()
         # ONE dispatch: pool + score + median threshold + merge rounds
