@@ -112,3 +112,57 @@ def test_spatially_memorized_network():
     pooled = m.apply(v, jnp.stack([emb, emb, emb], axis=1),
                      method=m.pool_contexts)
     assert pooled.shape == (2, 512)
+
+
+def test_multi_loss_training_with_label_embed():
+    """MultiLoss semantics (Losses.py:41-69): 0.7·contrastive + 0.15·CE×2,
+    trained end-to-end through the label-embed ScaleEmbedTransformer."""
+    import optax
+
+    from deepmerge_tpu.train.losses import class_loss, multi_loss
+
+    m = ScaleEmbedTransformer(embed_dim=32, depth=1, num_heads=4, out_dim=8,
+                              num_classes=5, label_embed=True)
+    r = np.random.RandomState(0)
+    b = 4
+    mk = lambda s: tuple(
+        jnp.asarray(r.rand(b, sz, sz, 3), jnp.float32)
+        for sz in (28, 56, 112, 224)
+    )
+    designed = jnp.asarray(r.rand(b, 19), jnp.float32)
+    factors = jnp.ones((b, 4), jnp.float32)
+    flag = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    labels_l = jnp.asarray(r.randint(0, 5, b))
+    labels_r = jnp.asarray(r.randint(0, 5, b))
+    left, right = mk(0), mk(1)
+
+    v = m.init(jax.random.key(0), left, designed, factors)
+    tx = optax.adam(1e-3)
+    opt = tx.init(v["params"])
+
+    def loss_fn(params):
+        el, ll, _ = m.apply({"params": params}, left, designed, factors)
+        er, lr, _ = m.apply({"params": params}, right, designed, factors)
+        return multi_loss(el, er, flag, ll, labels_l, lr, labels_r, margin=1.0)
+
+    l0 = float(loss_fn(v["params"]))
+    params = v["params"]
+    step = jax.jit(lambda p, o: _update(p, o, loss_fn, tx))
+    for _ in range(5):
+        params, opt = step(params, opt)
+    l1 = float(loss_fn(params))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0  # the joint objective trains
+
+    # class_loss variant (Losses.py:72-95) is finite too
+    el, ll, _ = m.apply({"params": params}, left, designed, factors)
+    er, lr, _ = m.apply({"params": params}, right, designed, factors)
+    assert np.isfinite(float(class_loss(ll, labels_l, lr, labels_r)))
+
+
+def _update(params, opt, loss_fn, tx):
+    grads = jax.grad(loss_fn)(params)
+    updates, opt = tx.update(grads, opt, params)
+    import optax
+
+    return optax.apply_updates(params, updates), opt
