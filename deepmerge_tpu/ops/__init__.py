@@ -4,9 +4,11 @@ from deepmerge_tpu.ops.resize import (  # noqa: F401
     area_resize,
 )
 from deepmerge_tpu.ops.patches import (  # noqa: F401
-    pad_scene,
-    extract_multiscale_patches,
     adaptive_scales,
+    extract_multiscale_patches,
+    pad_scene,
+    scene_pad,
+    slot_caps,
 )
 from deepmerge_tpu.ops.segment import (  # noqa: F401
     segment_mean,

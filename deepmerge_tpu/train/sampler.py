@@ -57,9 +57,18 @@ def stage_scene(scene: Scene, cfg: DataConfig) -> DeviceScene:
     ladder = np.stack(
         [inner64, obj64, 2 * obj64 - inner64, 3 * obj64 - 2 * inner64], 1
     )
-    caps = slot_caps(
-        ladder.max(0)[: len(cfg.patch_sizes)], cfg.max_window
-    )
+    max_scales = ladder.max(0)[: len(cfg.patch_sizes)]
+    caps = slot_caps(max_scales, cfg.max_window)
+    if int(max_scales.max(initial=0)) > cfg.max_window:
+        import warnings
+
+        warnings.warn(
+            f"scene '{scene.name}': adaptive scales up to "
+            f"{int(max_scales.max())} exceed data.max_window="
+            f"{cfg.max_window}; windows will be clamped (patch content "
+            f"differs from the reference for those points)",
+            stacklevel=2,
+        )
     return DeviceScene(
         padded=jnp.asarray(pad_scene(scene.image, caps)),
         points_yx=scene.regions.points_yx,

@@ -225,3 +225,20 @@ def test_geotiff_lzw_read(tmp_path, rng):
     p.write_bytes(raw)
     out = read_geotiff(str(p))
     np.testing.assert_array_equal(out.array, img)
+
+
+def test_shapefile_multipart_polygon_roundtrip(tmp_path, rng):
+    from deepmerge_tpu.geodata.shapefile import SHP_POLYGON
+
+    ring1 = rng.rand(5, 2) * 50
+    ring2 = rng.rand(4, 2) * 50 + 100
+    shape = Shape(SHP_POLYGON, np.concatenate([ring1, ring2]),
+                  np.array([0, 5], np.int32))
+    t = ShapefileTable(SHP_POLYGON, [shape], [DbfField("id", "N", 10)],
+                       [{"id": 1}])
+    path = str(tmp_path / "multi.shp")
+    t.save(path)
+    r = ShapefileTable.read(path)
+    np.testing.assert_array_equal(r.shapes[0].parts, [0, 5])
+    np.testing.assert_allclose(r.shapes[0].points,
+                               np.concatenate([ring1, ring2]), rtol=1e-12)

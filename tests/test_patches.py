@@ -83,3 +83,22 @@ def test_batch_padding_roundtrip(rng):
     assert out[0].shape == (5, 16, 16, 3)
     # identical points -> identical patches
     np.testing.assert_array_equal(np.asarray(out[0][0]), np.asarray(out[0][4]))
+
+
+def test_scale_clamp_warns(tiny_data_cfg):
+    """Adaptive scales beyond max_window clamp with a warning (parity note)."""
+    import warnings
+
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.train.sampler import stage_scene
+
+    scene = generate_scene(h=96, w=96, n_regions=6, n_objects=2, seed=0)
+    scene.regions.object_[:] = 400  # envi scale = 3*obj - 2*inner >> 128
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_data_cfg, max_window=128)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds = stage_scene(scene, cfg)
+    assert any("clamped" in str(x.message) for x in w)
+    assert max(ds.caps) == 128
