@@ -185,13 +185,25 @@ def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
         section = getattr(out, section_name)
         old = getattr(section, field_name)
         new: Any
-        if isinstance(old, bool):
+        if val.lower() in ("none", "null"):
+            new = None
+        elif isinstance(old, bool):
             new = val.lower() in ("1", "true", "yes")
         elif isinstance(old, tuple):
             elem = type(old[0]) if old else int
             new = tuple(elem(x) for x in val.split(","))
         elif old is None:
-            new = val
+            # Optional field: infer numeric types, else keep the string
+            if val.lower() in ("none", "null"):
+                new = None
+            else:
+                try:
+                    new = int(val)
+                except ValueError:
+                    try:
+                        new = float(val)
+                    except ValueError:
+                        new = val
         else:
             new = type(old)(val)
         out = out.replace(**{section_name: dataclasses.replace(section, **{field_name: new})})

@@ -124,3 +124,24 @@ def test_legacy_harness_gru():
     params, acc = train_gru(x, y, epochs=2, batch_size=64,
                             log_fn=lambda *_: None)
     assert acc > 0.3
+
+
+def test_config_overrides_and_json_roundtrip():
+    from deepmerge_tpu.config import Config, apply_overrides
+
+    cfg = apply_overrides(
+        Config(),
+        ["model.variant=v5", "merge.threshold_quantile=0.6",
+         "data.patch_sizes=16,32,64", "model.fused_attention=false"],
+    )
+    assert cfg.merge.threshold_quantile == 0.6          # typed, not a string
+    assert cfg.model.fused_attention is False
+    assert Config.from_json(cfg.to_json()) == cfg       # JSON roundtrip
+    assert apply_overrides(cfg, ["merge.threshold_quantile=none"]
+                           ).merge.threshold_quantile is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_overrides(Config(), ["merge.threshold_quantile=2.0"])
+    with pytest.raises(ValueError):
+        apply_overrides(Config(), ["model.bogus=1"])
