@@ -42,6 +42,7 @@ def train(
         scene = generate_scene(seed=cfg.train.seed)
 
     model = build_model(cfg.model)
+    fused_data = False
     if isinstance(scene, list):
         if pos_pairs is not None or neg_pairs is not None:
             raise ValueError(
@@ -58,12 +59,25 @@ def train(
     else:
         if pos_pairs is None or neg_pairs is None:
             pos_pairs, neg_pairs = make_training_pairs(scene)
-        sampler = PairSampler(scene, pos_pairs, neg_pairs, cfg.data)
+        if not use_mesh:
+            # single-scene, single-program: fuse the patch pipeline into the
+            # train step (epochs were data-dispatch-bound otherwise)
+            from deepmerge_tpu.train.sampler import FusedPairSampler
+
+            sampler = FusedPairSampler(scene, pos_pairs, neg_pairs, cfg.data)
+            fused_data = True
+        else:
+            sampler = PairSampler(scene, pos_pairs, neg_pairs, cfg.data)
     steps_per_epoch = max(len(sampler) // cfg.data.batch_size, 1)
     state = create_train_state(
         model, cfg, jax.random.key(cfg.train.seed), steps_per_epoch
     )
-    step_fn = make_train_step(model, cfg)
+    if fused_data:
+        from deepmerge_tpu.train.loop import make_fused_train_step
+
+        step_fn = make_fused_train_step(model, cfg, sampler.device_scene)
+    else:
+        step_fn = make_train_step(model, cfg)
 
     mesh = None
     if use_mesh and len(jax.devices()) > 1:

@@ -250,3 +250,49 @@ class MultiScenePairSampler:
             batch = next(it, None)
             if batch is not None:
                 yield batch
+
+
+def point_meta(ds: DeviceScene, point_idx: np.ndarray, cfg: DataConfig):
+    """(centers, scales, designed) device arrays for a batch of points —
+    the light-weight inputs of the fused train step."""
+    inner = ds.point_inner[point_idx]
+    obj = ds.point_object[point_idx]
+    targets = tuple(cfg.patch_sizes) + (1,) * (
+        cfg.factor_slots - len(cfg.patch_sizes)
+    )
+    scales, factors = adaptive_scales(inner, obj, targets)
+    designed = jnp.concatenate(
+        [jnp.asarray(ds.point_features[point_idx], jnp.float32), factors],
+        axis=1,
+    )
+    return jnp.asarray(ds.points_yx[point_idx]), scales, designed
+
+
+class FusedPairSampler(PairSampler):
+    """PairSampler variant yielding fused-step batches: per-pair point
+    metadata for the stacked [left; right] points instead of materialized
+    patches (window gather + resize happen inside the train step)."""
+
+    def epoch_batches(self, epoch_seed: int, batch_size: int,
+                      drop_remainder: bool = True):
+        rng = np.random.RandomState(epoch_seed)
+        left_pt = self._draw_point(rng, self.pairs[:, 0])
+        right_pt = self._draw_point(rng, self.pairs[:, 1])
+        perm = rng.permutation(len(self.pairs))
+        n = len(perm)
+        if drop_remainder:
+            n -= n % batch_size
+        for i in range(0, n, batch_size):
+            take = perm[i : i + batch_size]
+            if drop_remainder and len(take) < batch_size:
+                break
+            stacked = np.concatenate([left_pt[take], right_pt[take]])
+            centers, scales, designed = point_meta(
+                self.device_scene, stacked, self.cfg
+            )
+            yield {
+                "centers": centers,
+                "scales": scales,
+                "designed": designed,
+                "flag": jnp.asarray(self.flags[take]),
+            }

@@ -150,3 +150,35 @@ def test_multi_scene_training(tiny_model_cfg, tiny_data_cfg):
                            log_fn=lambda *_: None)
     assert len(history.train_losses) == 1
     assert np.isfinite(history.train_losses[0])
+
+
+def test_fused_train_step_matches_standard(tiny_model_cfg, tiny_data_cfg,
+                                           small_scene):
+    """The data-fused train step computes the same loss/updates as the
+    standard step on the same pair draw."""
+    from deepmerge_tpu.train.loop import make_fused_train_step
+    from deepmerge_tpu.train.sampler import FusedPairSampler
+
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    model = build_model(tiny_model_cfg)
+    pos, neg = make_training_pairs(small_scene)
+
+    std_sampler = PairSampler(small_scene, pos, neg, tiny_data_cfg)
+    fused_sampler = FusedPairSampler(small_scene, pos, neg, tiny_data_cfg)
+
+    state_a = create_train_state(model, cfg, jax.random.key(0))
+    state_b = create_train_state(model, cfg, jax.random.key(0))
+    step_a = make_train_step(model, cfg)
+    step_b = make_fused_train_step(model, cfg, fused_sampler.device_scene)
+
+    rng = jax.random.key(9)
+    ba = next(iter(std_sampler.epoch_batches(3, 8)))
+    bb = next(iter(fused_sampler.epoch_batches(3, 8)))
+    state_a, ma = step_a(state_a, ba, rng)
+    state_b, mb = step_b(state_b, bb, rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-4, atol=1e-5)
