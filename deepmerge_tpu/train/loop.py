@@ -160,19 +160,26 @@ def train_epoch(
     log_every: int = 0,
     log_fn=print,
 ) -> tuple[TrainState, float]:
-    """Run one epoch over an iterable of batches; returns mean loss."""
-    total, count = 0.0, 0
+    """Run one epoch over an iterable of batches; returns mean loss.
+
+    Losses stay on device until the epoch ends (a per-step host sync would
+    stall the dispatch pipeline).
+    """
+    losses = []
     t0 = time.time()
     for i, batch in enumerate(batches):
         state, metrics = train_step(state, batch, rng)
-        total += float(metrics["loss"])
-        count += 1
+        losses.append(metrics["loss"])
         if log_every and (i + 1) % log_every == 0:
             log_fn(
-                f"  step {i + 1}: loss={total / count:.5f} "
-                f"({(time.time() - t0) / count:.3f}s/step)"
+                f"  step {i + 1}: loss={float(metrics['loss']):.5f} "
+                f"({(time.time() - t0) / (i + 1):.3f}s/step)"
             )
-    return state, total / max(count, 1)
+    if not losses:
+        return state, 0.0
+    import numpy as np
+
+    return state, float(np.mean([np.asarray(l) for l in losses]))
 
 
 def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
