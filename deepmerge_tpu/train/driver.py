@@ -72,10 +72,13 @@ def train(
     state = create_train_state(
         model, cfg, jax.random.key(cfg.train.seed), steps_per_epoch
     )
+    epoch_fn = None
     if fused_data:
-        from deepmerge_tpu.train.loop import make_fused_train_step
+        from deepmerge_tpu.train.loop import make_scanned_epoch
 
-        step_fn = make_fused_train_step(model, cfg, sampler.device_scene)
+        # whole epoch as ONE device program (scan over steps)
+        epoch_fn = make_scanned_epoch(model, cfg, sampler.device_scene)
+        step_fn = None
     else:
         step_fn = make_train_step(model, cfg)
 
@@ -101,17 +104,28 @@ def train(
     t_start = time.time() - elapsed0
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
-        batches = sampler.epoch_batches(
-            epoch_seed=cfg.train.seed * 100003 + epoch,
-            batch_size=cfg.data.batch_size,
-        )
-        if max_steps_per_epoch is not None:
-            import itertools
+        epoch_seed = cfg.train.seed * 100003 + epoch
+        if epoch_fn is not None:
+            arrays = sampler.epoch_arrays(epoch_seed, cfg.data.batch_size)
+            if arrays is None:
+                mean_loss = 0.0
+            else:
+                if max_steps_per_epoch is not None:
+                    arrays = tuple(a[:max_steps_per_epoch] for a in arrays)
+                state, losses = epoch_fn(state, *arrays, rng)
+                mean_loss = float(np.mean(np.asarray(losses)))
+        else:
+            batches = sampler.epoch_batches(
+                epoch_seed=epoch_seed,
+                batch_size=cfg.data.batch_size,
+            )
+            if max_steps_per_epoch is not None:
+                import itertools
 
-            batches = itertools.islice(batches, max_steps_per_epoch)
-        if mesh is not None:
-            batches = (shard_batch(b, mesh) for b in batches)
-        state, mean_loss = train_epoch(state, step_fn, batches, rng)
+                batches = itertools.islice(batches, max_steps_per_epoch)
+            if mesh is not None:
+                batches = (shard_batch(b, mesh) for b in batches)
+            state, mean_loss = train_epoch(state, step_fn, batches, rng)
         elapsed = time.time() - t_start
         log_fn(
             f"epoch {epoch + 1}/{cfg.train.num_epochs}: "

@@ -251,3 +251,73 @@ def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
         )
 
     return train_step
+
+
+def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
+                       aux_weights: tuple[float, float] = (0.0, 0.0)):
+    """Run an ENTIRE epoch as one jitted program (lax.scan over steps).
+
+    The per-step inputs are tiny (point metadata, ~KBs/step), so a whole
+    epoch's batches ship in one upload and the optimizer loop never returns
+    to the host — on dispatch-heavy platforms this removes the last
+    per-step overheads. Returns ``epoch_fn(state, arrays, rng) ->
+    (state, losses)`` with ``arrays`` from
+    ``FusedPairSampler.epoch_arrays``.
+    """
+    from deepmerge_tpu.ops.patches import extract_multiscale_patches
+
+    margin = cfg.train.margin
+    has_aux_heads = model.cfg.variant in ("v4", "v5")
+    patch_sizes = tuple(cfg.data.patch_sizes)
+    caps = device_scene.caps
+    quantize = cfg.data.quantize_uint8
+    padded = device_scene.padded
+
+    def loss_fn(params, batch_stats, centers, scales, designed, flag,
+                dropout_rng):
+        patches = extract_multiscale_patches(
+            padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
+            quantize_uint8=quantize,
+        )
+        variables = {"params": params}
+        mutable = False
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = model.apply(
+            variables, patches, designed, True,
+            rngs={"dropout": dropout_rng}, mutable=mutable,
+        )
+        if mutable:
+            out, new_state = out
+        else:
+            new_state = {}
+        if has_aux_heads:
+            emb, aux0, aux1 = out
+        else:
+            emb, aux0, aux1 = out, None, None
+        el, er = jnp.split(emb, 2, axis=0)
+        loss = contrastive_pair_loss(el, er, flag, margin)
+        if aux0 is not None and aux_weights[0] > 0.0:
+            a0l, a0r = jnp.split(aux0, 2, axis=0)
+            loss += aux_weights[0] * contrastive_pair_loss(a0l, a0r, flag, margin)
+        if aux1 is not None and aux_weights[1] > 0.0:
+            a1l, a1r = jnp.split(aux1, 2, axis=0)
+            loss += aux_weights[1] * contrastive_pair_loss(a1l, a1r, flag, margin)
+        return loss, new_state.get("batch_stats", batch_stats)
+
+    @jax.jit
+    def epoch_fn(state: TrainState, centers, scales, designed, flags, rng):
+        def body(state, xs):
+            c, s, d, f = xs
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, c, s, d, f, dropout_rng
+            )
+            state = state.apply_gradients(grads)
+            state = state.replace(batch_stats=new_bs)
+            return state, loss
+
+        return jax.lax.scan(body, state, (centers, scales, designed, flags))
+
+    return epoch_fn

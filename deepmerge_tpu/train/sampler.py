@@ -296,3 +296,24 @@ class FusedPairSampler(PairSampler):
                 "designed": designed,
                 "flag": jnp.asarray(self.flags[take]),
             }
+
+
+def _stack_epoch(batches):
+    import jax
+
+    return tuple(
+        jnp.stack([b[k] for b in batches])
+        for k in ("centers", "scales", "designed", "flag")
+    )
+
+
+# FusedPairSampler.epoch_arrays: whole-epoch stacked metadata for the
+# scanned-epoch trainer (loop.make_scanned_epoch)
+def _epoch_arrays(self, epoch_seed: int, batch_size: int):
+    batches = list(self.epoch_batches(epoch_seed, batch_size))
+    if not batches:
+        return None
+    return _stack_epoch(batches)
+
+
+FusedPairSampler.epoch_arrays = _epoch_arrays

@@ -182,3 +182,35 @@ def test_fused_train_step_matches_standard(tiny_model_cfg, tiny_data_cfg,
                       jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_scanned_epoch_matches_stepwise(tiny_model_cfg, tiny_data_cfg,
+                                        small_scene):
+    """One-dispatch scanned epoch == the same steps run one by one."""
+    from deepmerge_tpu.train.loop import make_fused_train_step, make_scanned_epoch
+    from deepmerge_tpu.train.sampler import FusedPairSampler
+
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    model = build_model(tiny_model_cfg)
+    pos, neg = make_training_pairs(small_scene)
+    sampler = FusedPairSampler(small_scene, pos, neg, tiny_data_cfg)
+    rng = jax.random.key(11)
+
+    state_a = create_train_state(model, cfg, jax.random.key(0))
+    step = make_fused_train_step(model, cfg, sampler.device_scene)
+    losses_a = []
+    for batch in sampler.epoch_batches(5, 8):
+        state_a, m = step(state_a, batch, rng)
+        losses_a.append(float(m["loss"]))
+
+    state_b = create_train_state(model, cfg, jax.random.key(0))
+    epoch_fn = make_scanned_epoch(model, cfg, sampler.device_scene)
+    arrays = sampler.epoch_arrays(5, 8)
+    state_b, losses_b = epoch_fn(state_b, *arrays, rng)
+
+    np.testing.assert_allclose(np.asarray(losses_b), losses_a, rtol=1e-4,
+                               atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-4, atol=1e-5)
