@@ -121,6 +121,8 @@ class MergeConfig:
     threshold_quantile: float | None = None   # if set, threshold = this quantile
                                               # of the initial edge distances
     max_rounds: int = 16
+    edge_batch: int = 8192                    # padded edge-batch size per scoring call
+    engine: str = "device"                    # "device" (one-dispatch label-prop) | "host" (union-find)
 
     def __post_init__(self):
         q = self.threshold_quantile
@@ -128,8 +130,6 @@ class MergeConfig:
             raise ValueError(
                 f"merge.threshold_quantile must be in [0, 1], got {q}"
             )
-    edge_batch: int = 8192                    # padded edge-batch size per scoring call
-    engine: str = "device"                    # "device" (one-dispatch label-prop) | "host" (union-find)
 
 
 @dataclass(frozen=True)

@@ -95,6 +95,10 @@ def rel_pos_index_extra_token(cube: Sequence[int]) -> tuple[np.ndarray, int]:
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
+# torch nn.LayerNorm default (the reference never overrides it in
+# nets/ShfitScaleFormer.py; flax defaults to 1e-6, which would drift).
+LN_EPS = 1e-5
+
 
 class Mlp(nn.Module):
     """Transformer FFN (nets/ShfitScaleFormer.py:39-58)."""
@@ -233,7 +237,7 @@ class CrossScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dp = DropPath(self.drop_path)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         y = CrossScaleAttention(
             dim=self.dim, num_heads=self.num_heads, cube=self.cube,
             extra_token=self.extra_token, attn_drop=self.attn_drop,
@@ -241,7 +245,7 @@ class CrossScaleBlock(nn.Module):
             name="attn",
         )(y, deterministic)
         x = x + dp(y, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         y = Mlp(
             dim=self.dim, hidden=int(self.dim * self.mlp_ratio),
             drop=self.drop, exact_gelu=self.exact_gelu, dtype=self.dtype,
@@ -333,7 +337,7 @@ class AuxBlock(nn.Module):
             extra = x[:, h * w * c :, :].reshape(x.shape[0], -1)
             y = jnp.concatenate([y, extra], axis=-1)
         else:
-            y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+            y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(y)
         return nn.Dense(self.out_dim, kernel_init=_trunc02, dtype=self.dtype,
                         name="out")(y)
 
@@ -372,7 +376,7 @@ class S2Former(nn.Module):
         self.dtype_ = dtype
         if cfg.variant == "v6":
             self.feature_embed = FeatureEmbed(cfg.embed_dim, dtype, name="feature_embed")
-            self.norm = nn.LayerNorm(dtype=dtype, name="norm")
+            self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="norm")
             self.final_with_design = nn.Dense(
                 cfg.out_dim, kernel_init=_trunc02, dtype=dtype,
                 name="final_features_with_design",
@@ -389,7 +393,7 @@ class S2Former(nn.Module):
         ]
         if cfg.use_designed_features or cfg.variant == "v5":
             self.feature_embed = FeatureEmbed(cfg.embed_dim, dtype, name="feature_embed")
-        self.norm = nn.LayerNorm(dtype=dtype, name="norm")
+        self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="norm")
         self.pos_drop = nn.Dropout(cfg.drop_ratio)
 
         extra = cfg.variant == "v5"

@@ -76,8 +76,8 @@ class Block(nn.Module):
             y, deterministic)
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.drop,
-                self.dtype, name="mlp")(y, deterministic)
+        y = Mlp(dim=self.dim, hidden=int(self.dim * self.mlp_ratio),
+                drop=self.drop, dtype=self.dtype, name="mlp")(y, deterministic)
         return x + dp(y, deterministic)
 
 

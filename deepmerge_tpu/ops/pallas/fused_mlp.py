@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ln(x, scale, bias, eps=1e-6):
+def _ln(x, scale, bias, eps=1e-5):  # torch nn.LayerNorm default, matches s2former.LN_EPS
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)

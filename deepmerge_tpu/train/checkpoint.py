@@ -74,9 +74,19 @@ class CheckpointManager:
         )
         return os.path.join(self.directory, cands[-1]) if cands else None
 
-    def restore(self, state: TrainState, path: Optional[str] = None) -> tuple[TrainState, int, float]:
-        """Returns (state, start_epoch, elapsed). Raises past the final epoch
-        like the reference (``Train_SMT.py:174-175``)."""
+    def restore(
+        self,
+        state: TrainState,
+        path: Optional[str] = None,
+        for_resume: bool = False,
+    ) -> tuple[TrainState, int, float]:
+        """Returns (state, start_epoch, elapsed).
+
+        With ``for_resume=True`` (the resume-training path) a checkpoint
+        at/past the final epoch raises like the reference
+        (``Train_SMT.py:174-175``). Plain restores — the extract/inference
+        path loading a COMPLETED run's final checkpoint — must not.
+        """
         path = path or self.latest_path()
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
@@ -90,7 +100,7 @@ class CheckpointManager:
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         epoch = int(meta["epoch"])
-        if epoch + 1 >= self.cfg.train.num_epochs:
+        if for_resume and epoch + 1 >= self.cfg.train.num_epochs:
             raise ValueError(
                 f"checkpoint epoch {epoch} is at/past num_epochs "
                 f"{self.cfg.train.num_epochs}"

@@ -94,7 +94,7 @@ def train(
     start_epoch, elapsed0 = 0, 0.0
     if cfg.train.resume:
         try:
-            state, start_epoch, elapsed0 = ckpt.restore(state)
+            state, start_epoch, elapsed0 = ckpt.restore(state, for_resume=True)
             log_fn(f"resumed from epoch {start_epoch}")
         except FileNotFoundError:
             log_fn("no checkpoint found; training from scratch")

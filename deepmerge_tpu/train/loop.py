@@ -271,9 +271,8 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
     patch_sizes = tuple(cfg.data.patch_sizes)
     caps = device_scene.caps
     quantize = cfg.data.quantize_uint8
-    padded = device_scene.padded
 
-    def loss_fn(params, batch_stats, centers, scales, designed, flag,
+    def loss_fn(params, batch_stats, padded, centers, scales, designed, flag,
                 dropout_rng):
         patches = extract_multiscale_patches(
             padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
@@ -307,17 +306,25 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
         return loss, new_state.get("batch_stats", batch_stats)
 
     @jax.jit
-    def epoch_fn(state: TrainState, centers, scales, designed, flags, rng):
+    def _epoch(state: TrainState, padded, centers, scales, designed, flags,
+               rng):
         def body(state, xs):
             c, s, d, f = xs
             dropout_rng = jax.random.fold_in(rng, state.step)
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats, c, s, d, f, dropout_rng
+                state.params, state.batch_stats, padded, c, s, d, f,
+                dropout_rng,
             )
             state = state.apply_gradients(grads)
             state = state.replace(batch_stats=new_bs)
             return state, loss
 
         return jax.lax.scan(body, state, (centers, scales, designed, flags))
+
+    def epoch_fn(state: TrainState, centers, scales, designed, flags, rng):
+        # the scene tile rides as a jit ARGUMENT (remote compile rejects
+        # HLO >~100MB, so it must never bake in as a program constant)
+        return _epoch(state, device_scene.padded, centers, scales, designed,
+                      flags, rng)
 
     return epoch_fn

@@ -24,6 +24,32 @@ def test_vision_transformer_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_vit_block_mlp_gets_dtype_and_tanh_gelu(monkeypatch):
+    """Regression: Block used to pass dtype into Mlp's ``exact_gelu``
+    positional slot — every ViT block silently ran exact erf GELU
+    (~15ms/block on this VPU) and ignored the configured compute dtype."""
+    import flax.linen as fnn
+
+    gelu_modes = []
+    real_gelu = fnn.gelu
+
+    def spy(x, approximate=True):
+        gelu_modes.append(approximate)
+        return real_gelu(x, approximate=approximate)
+
+    monkeypatch.setattr(fnn, "gelu", spy)
+    m = VisionTransformer(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                          num_heads=4, num_classes=0, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 16, 16, 3))
+    v = m.init(jax.random.key(0), x)
+    _, inter = m.apply(
+        v, x, capture_intermediates=lambda mdl, name: name == "__call__"
+    )
+    assert gelu_modes and all(gelu_modes), "ViT Mlp must use tanh GELU"
+    mlp_out = inter["intermediates"]["block0"]["mlp"]["__call__"][0]
+    assert mlp_out.dtype == jnp.bfloat16, "Mlp must inherit the compute dtype"
+
+
 def test_vision_transformer_representation():
     m = VisionTransformer(img_size=32, patch_size=8, embed_dim=32, depth=1,
                           num_heads=4, num_classes=0, representation_size=16)

@@ -43,8 +43,9 @@ def test_save_restore_roundtrip(tmp_path, tiny_model_cfg):
 
 
 def test_restore_past_final_epoch_raises(tmp_path, tiny_model_cfg):
-    """Resuming at/past num_epochs errors like the reference
-    (Train_SMT.py:174-175)."""
+    """RESUMING at/past num_epochs errors like the reference
+    (Train_SMT.py:174-175) — but a plain restore of a completed run's final
+    checkpoint (the inference/extract path) must succeed."""
     cfg = Config(
         model=tiny_model_cfg,
         train=TrainConfig(num_epochs=5, checkpoint_dir=str(tmp_path)),
@@ -54,7 +55,10 @@ def test_restore_past_final_epoch_raises(tmp_path, tiny_model_cfg):
     mgr = CheckpointManager(str(tmp_path), cfg)
     mgr.save(state, epoch=4)
     with pytest.raises(ValueError):
-        mgr.restore(state)
+        mgr.restore(state, for_resume=True)
+    # inference load of the final checkpoint works
+    _, start_epoch, _ = mgr.restore(state)
+    assert start_epoch == 5
 
 
 def test_restore_missing_raises(tmp_path, tiny_model_cfg):

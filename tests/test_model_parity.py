@@ -33,7 +33,7 @@ def _linear(x, params):
     return x @ _t(params["kernel"]) + _t(params["bias"])
 
 
-def _ln(x, params, eps=1e-6):
+def _ln(x, params, eps=1e-5):  # torch nn.LayerNorm default (ref never overrides)
     mu = x.mean(-1, keepdim=True)
     var = x.var(-1, unbiased=False, keepdim=True)
     return (x - mu) / torch.sqrt(var + eps) * _t(params["scale"]) + _t(params["bias"])
