@@ -21,11 +21,27 @@ from deepmerge_tpu.utils.profiling import Timings, phase_timer
 
 
 def load_params(cfg: Config, checkpoint_path: Optional[str] = None):
-    """Params from a checkpoint, or fresh init when none exists yet."""
+    """Params from a checkpoint, or fresh init when none exists yet.
+
+    ``checkpoint_path`` may be an orbax checkpoint directory, an imported
+    ``.msgpack`` (``tools/import_torch_ckpt.py``), or a reference ``.pth``
+    (imported on the fly — requires torch)."""
     model = build_model(cfg.model)
     variables = init_params(model, jax.random.key(0))
     params, batch_stats = variables["params"], variables.get("batch_stats")
-    if checkpoint_path:
+    if checkpoint_path and checkpoint_path.endswith(".msgpack"):
+        from deepmerge_tpu.compat.torch_import import load_flax_variables
+
+        loaded = load_flax_variables(checkpoint_path)
+        params = loaded["params"]
+        batch_stats = loaded.get("batch_stats", batch_stats)
+    elif checkpoint_path and checkpoint_path.endswith(".pth"):
+        from deepmerge_tpu.compat.torch_import import load_torch_checkpoint
+
+        loaded = load_torch_checkpoint(checkpoint_path, cfg)
+        params = loaded["params"]
+        batch_stats = loaded.get("batch_stats", batch_stats)
+    elif checkpoint_path:
         from deepmerge_tpu.train.checkpoint import CheckpointManager
         from deepmerge_tpu.train.loop import create_train_state
 
@@ -134,9 +150,9 @@ def process_folder(
         image = os.path.join(image_folder, f"{entry}.tif")
         polygons = os.path.join(shp_folder, f"{entry}.shp")
         lines = os.path.join(sub, "lines.shp")
+        h5 = os.path.join(sub, f"{cfg.model.name}_features.h5")
         try:
             scene = load_scene(image, polygons, points, lines, name=entry)
-            h5 = os.path.join(sub, f"{cfg.model.name}_features.h5")
             log_fn(f"processing {entry} ({scene.regions.num_points} points)")
             process_scene(
                 cfg, scene, model, params, batch_stats,
@@ -149,7 +165,7 @@ def process_folder(
             try:  # don't leave a truncated feature file looking complete
                 if os.path.exists(h5):
                     os.remove(h5)
-            except (OSError, NameError):
+            except OSError:
                 pass
     if failed:
         log_fn(f"{len(failed)} scene(s) failed: {[f[0] for f in failed]}")
