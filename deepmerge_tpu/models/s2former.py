@@ -169,11 +169,7 @@ class CrossScaleAttention(nn.Module):
             n, n, self.num_heads
         ).transpose(2, 0, 1)
 
-        use_fused = (
-            self.fused
-            and not self.extra_token
-            and (deterministic or self.attn_drop == 0.0)
-        )
+        use_fused = self.fused and (deterministic or self.attn_drop == 0.0)
         if use_fused:
             # fused VMEM attention straight from the packed qkv projection:
             # no HBM logits tensor, no q/k/v transposes/slices.

@@ -25,6 +25,8 @@ import numpy as np
 from deepmerge_tpu.geodata.types import Scene
 from deepmerge_tpu.infer.merge import MergeResult, connected_labels
 
+LABEL_BIG = np.iinfo(np.int32).max
+
 
 def initialize(coordinator: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
@@ -87,14 +89,14 @@ def merge_sharded(
     threshold: float = 1.0,
     max_rounds: int = 16,
 ) -> MergeResult:
-    """Shard-local merges + boundary resolution.
+    """HOST simulation: shard-local merges + boundary resolution.
 
-    Note: shard-local merging followed by boundary resolution approximates
-    the global round structure — cluster embeddings during local rounds only
-    pool locally-owned points. The final resolution pass re-runs the GLOBAL
-    round loop seeded with the local partitions, so the fixpoint matches the
-    single-device engine whenever merging is monotone under the threshold
-    (the common case; exactness is asserted in tests on synthetic scenes).
+    This is a partition-level simulation only — every shard reads the
+    global embedding array, and local-first merging is exact only when
+    merging is monotone under the threshold. The REAL memory-distributed
+    path is ``extract_and_merge_sharded`` below (disjoint per-shard pixel
+    tiles + exact collective merge rounds); this one is kept as a host
+    fallback and as documentation of the two-phase alternative.
     """
     from deepmerge_tpu.infer.merge import MergeEngine
 
@@ -134,3 +136,358 @@ def merge_sharded(
         scene.rag.edges, initial_labels=comp0.astype(np.int64),
     )
     return seeded
+
+
+# ---------------------------------------------------------------------------
+# Memory-distributed path: disjoint per-shard pixel tiles (+halo) and an
+# EXACT collective merge — no monotonicity assumption.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StagedShards:
+    """Scene staged as S physically disjoint column-strip shards.
+
+    All arrays have leading axis S and are meant to be sharded over a mesh
+    data axis: device s sees ONLY its strip's pixels (plus halo columns wide
+    enough to cover every owned point's largest gather window) and ONLY its
+    own points. Together with ``distributed_merge``'s collective rounds this
+    is the memory-distributed analog of the reference's sequential tile walk
+    (``ExtractFeatures.py:241-303``).
+    """
+
+    tiles: np.ndarray           # (S, Hp, Wp, C) uint8, pad_scene layout
+    centers: np.ndarray         # (S, Pm, 2) int32 tile-LOCAL yx
+    point_region: np.ndarray    # (S, Pm) int32; padding rows = num_regions
+    features: np.ndarray        # (S, Pm, 15) float32
+    inner: np.ndarray           # (S, Pm) int32
+    object_: np.ndarray         # (S, Pm) int32
+    edges: np.ndarray           # (S, Em, 2) int32 partition of the RAG
+    edge_valid: np.ndarray      # (S, Em) bool
+    caps: tuple[int, ...]       # static window caps (global, shared)
+    num_regions: int
+
+
+def stage_scene_shards(scene: Scene, cfg, n_shards: int) -> StagedShards:
+    """Split a Scene into column-strip shards with real pixel halos.
+
+    Each shard's tile holds only the columns its points can touch
+    (point x ± (max(caps)/2 + alignment) — exactly ``scene_pad``'s reach),
+    so shard inputs are physically disjoint sub-arrays of the mosaic, not
+    views of the global scene. Window content is identical to the global
+    staging, hence embeddings are identical.
+    """
+    from deepmerge_tpu.ops.patches import pad_scene, scene_pad, slot_caps
+
+    r = scene.regions
+    R = r.num_regions
+    feats, inner, obj = r.point_meta()
+
+    # global caps (shared static shape across shards)
+    inner64, obj64 = inner.astype(np.int64), obj.astype(np.int64)
+    ladder = np.stack(
+        [inner64, obj64, 2 * obj64 - inner64, 3 * obj64 - 2 * inner64], 1
+    )
+    max_scales = ladder.max(0)[: len(cfg.patch_sizes)]
+    caps = slot_caps(max_scales, cfg.max_window)
+    c = scene.image.shape[-1]
+    halo = scene_pad(caps, c)  # max window half-extent + DMA alignment spill
+
+    # regions → strips by point-centroid x; points follow their region
+    cx = np.zeros(R)
+    counts = np.bincount(r.point_region, minlength=R)
+    np.add.at(cx, r.point_region, r.points_yx[:, 1].astype(np.float64))
+    cx = cx / np.maximum(counts, 1)
+    strip_of = np.minimum(
+        (cx / (scene.image.shape[1] / n_shards)).astype(np.int64),
+        n_shards - 1,
+    )
+    pt_strip = strip_of[r.point_region]
+
+    # edge partition: each edge scored by exactly one shard (min endpoint's)
+    e = np.asarray(scene.rag.edges, np.int64)
+    e_strip = np.minimum(strip_of[e[:, 0]], strip_of[e[:, 1]])
+
+    pm = max(int(np.max(np.bincount(pt_strip, minlength=n_shards))), 1)
+    em = max(int(np.max(np.bincount(e_strip, minlength=n_shards))), 1)
+
+    h, w = scene.image.shape[:2]
+    # tile bounds per shard from OWNED point x-range ± halo
+    tiles, centers_l = [], []
+    point_region_l, feats_l, inner_l, obj_l = [], [], [], []
+    edges_l, evalid_l = [], []
+    widths = []
+    bounds = []
+    for s in range(n_shards):
+        pts = np.where(pt_strip == s)[0]
+        if len(pts):
+            xs = r.points_yx[pts, 1].astype(np.int64)
+            xlo = max(int(xs.min()) - halo, 0)
+            xhi = min(int(xs.max()) + halo + 1, w)
+        else:
+            xlo, xhi = 0, 1
+        bounds.append((xlo, xhi))
+        widths.append(xhi - xlo)
+    wmax = max(widths)
+
+    for s in range(n_shards):
+        xlo, xhi = bounds[s]
+        tile = np.zeros((h, wmax, c), scene.image.dtype)
+        tile[:, : xhi - xlo] = scene.image[:, xlo:xhi]
+        tiles.append(pad_scene(tile, caps))
+
+        pts = np.where(pt_strip == s)[0]
+        n = len(pts)
+        ctr = np.zeros((pm, 2), np.int32)
+        pr = np.full(pm, R, np.int32)          # sentinel: dropped by pooling
+        ft = np.zeros((pm, feats.shape[1]), np.float32)
+        inn = np.full(pm, 8, np.int32)
+        ob = np.full(pm, 16, np.int32)
+        if n:
+            ctr[:n, 0] = r.points_yx[pts, 0]
+            ctr[:n, 1] = r.points_yx[pts, 1] - xlo
+            pr[:n] = r.point_region[pts]
+            ft[:n] = feats[pts]
+            inn[:n] = inner[pts]
+            ob[:n] = obj[pts]
+        centers_l.append(ctr)
+        point_region_l.append(pr)
+        feats_l.append(ft)
+        inner_l.append(inn)
+        obj_l.append(ob)
+
+        es = np.where(e_strip == s)[0]
+        ed = np.zeros((em, 2), np.int32)
+        ev = np.zeros(em, bool)
+        ed[: len(es)] = e[es]
+        ev[: len(es)] = True
+        edges_l.append(ed)
+        evalid_l.append(ev)
+
+    return StagedShards(
+        tiles=np.stack(tiles),
+        centers=np.stack(centers_l),
+        point_region=np.stack(point_region_l),
+        features=np.stack(feats_l),
+        inner=np.stack(inner_l),
+        object_=np.stack(obj_l),
+        edges=np.stack(edges_l),
+        edge_valid=np.stack(evalid_l),
+        caps=caps,
+        num_regions=R,
+    )
+
+
+def _collective_merge_rounds(
+    emb, pr, edges, evalid, threshold, num_regions: int,
+    max_rounds: int, sweeps: int, axis: str,
+):
+    """device_merge's round loop with its two reductions made collective.
+
+    Exactness: per round, the global cluster embedding is psum of per-shard
+    partial segment sums (== the global segment sum); each edge is scored by
+    exactly one shard against those global embeddings; each propagation
+    sweep's scatter-min is a per-shard partial min combined by pmin (min is
+    associative, so this IS the global scatter-min), after which labels are
+    replicated and pointer jumping is shard-local deterministic. Every round
+    therefore produces bit-identical labels to the single-device
+    ``ops/labelprop.device_merge`` — monotone or not. (Only the f32
+    summation ORDER differs from single-device; tests keep thresholds away
+    from knife-edge distances.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    R = num_regions
+    labels0 = jnp.arange(R, dtype=jnp.int32)
+    big = jnp.int32(LABEL_BIG)
+    ea, eb = edges[:, 0], edges[:, 1]
+    ones = jnp.ones((emb.shape[0],), jnp.float32)
+
+    pr_real = pr < R  # padding points carry the R sentinel
+
+    def round_body(state):
+        labels, rounds, _ = state
+        # padding points route to segment R, which pooling drops (an
+        # unguarded labels[pr] would CLAMP to R-1 and pollute that cluster)
+        pt_cluster = jnp.where(
+            pr_real, labels[jnp.minimum(pr, R - 1)], jnp.int32(R)
+        )
+        sums = jax.ops.segment_sum(emb, pt_cluster, num_segments=R + 1)[:R]
+        cnts = jax.ops.segment_sum(ones, pt_cluster, num_segments=R + 1)[:R]
+        sums = jax.lax.psum(sums, axis)
+        cnts = jax.lax.psum(cnts, axis)
+        cemb = sums / jnp.maximum(cnts, 1.0)[:, None]
+        la, lb = labels[ea], labels[eb]
+        d2 = jnp.sum((cemb[la] - cemb[lb]) ** 2, axis=-1)
+        passing = (
+            evalid & (la != lb)
+            & (d2 < jnp.asarray(threshold, jnp.float32) ** 2)
+        )
+
+        def sweep(_, labels):
+            cur = jnp.minimum(labels[la], labels[lb])
+            upd = jnp.where(passing, cur, big)
+            l2 = labels.at[la].min(upd).at[lb].min(upd)
+            l2 = jax.lax.pmin(l2, axis)
+            return jnp.minimum(l2, l2[l2])
+
+        relabeled = jax.lax.fori_loop(0, sweeps, sweep, labels)
+        changed = jax.lax.psum(jnp.any(passing).astype(jnp.int32), axis) > 0
+        return relabeled, rounds + changed.astype(jnp.int32), changed
+
+    def cond(state):
+        _, rounds, changed = state
+        return changed & (rounds < max_rounds)
+
+    labels, rounds, _ = jax.lax.while_loop(
+        cond, round_body, (labels0, jnp.int32(0), jnp.bool_(True))
+    )
+    return labels, rounds
+
+
+def distributed_merge(
+    point_embeddings: np.ndarray,
+    point_region: np.ndarray,
+    num_regions: int,
+    edges: np.ndarray,
+    mesh,
+    threshold: float,
+    max_rounds: int = 16,
+    sweeps: int = 16,
+    axis: str = "data",
+) -> tuple[np.ndarray, int]:
+    """Collective merge over points/edges sharded across a mesh axis.
+
+    Returns (labels (R,) min-member ids, rounds) — bit-identical to
+    ``ops/labelprop.device_merge`` (see ``_collective_merge_rounds``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    S = mesh.shape[axis]
+    R = num_regions
+    emb = np.asarray(point_embeddings, np.float32)
+    pr = np.asarray(point_region, np.int32)
+    p_pad = (-len(pr)) % S
+    if p_pad:
+        emb = np.concatenate([emb, np.zeros((p_pad, emb.shape[1]), np.float32)])
+        pr = np.concatenate([pr, np.full(p_pad, R, np.int32)])
+    e = np.asarray(edges, np.int32)
+    ev = np.ones(len(e), bool)
+    e_pad = (-len(e)) % S if len(e) else S
+    if e_pad:
+        e = np.concatenate([e, np.zeros((e_pad, 2), np.int32)])
+        ev = np.concatenate([ev, np.zeros(e_pad, bool)])
+
+    def local(emb, pr, e, ev):
+        return _collective_merge_rounds(
+            emb, pr, e, ev, threshold, R, max_rounds, sweeps, axis
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    labels, rounds = fn(
+        jnp.asarray(emb), jnp.asarray(pr), jnp.asarray(e), jnp.asarray(ev)
+    )
+    return np.asarray(labels), int(rounds)
+
+
+def extract_and_merge_sharded(
+    model,
+    params,
+    scene: Scene,
+    cfg,
+    mesh,
+    threshold: float = 1.0,
+    max_rounds: int = 16,
+    sweeps: int = 16,
+    axis: str = "data",
+) -> MergeResult:
+    """Memory-distributed extract+merge over a device mesh.
+
+    ONE jitted shard_map program: each device gathers patches from ITS OWN
+    strip tile (disjoint pixels + halo), embeds only its own points, and the
+    merge rounds run with psum/pmin collectives (see
+    ``_collective_merge_rounds`` for the exactness argument). The only
+    global-size arrays a device ever holds are the (R, D) cluster-embedding
+    table and the (R,) label vector — pixels, points and edges stay sharded.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from deepmerge_tpu.ops.patches import (
+        adaptive_scales,
+        extract_multiscale_patches,
+    )
+
+    n_shards = mesh.shape[axis]
+    staged = stage_scene_shards(scene, cfg, n_shards)
+    R = staged.num_regions
+    mcfg = model.cfg
+    targets = tuple(cfg.patch_sizes) + (1,) * (
+        cfg.factor_slots - len(cfg.patch_sizes)
+    )
+    scales, factors = adaptive_scales(staged.inner, staged.object_, targets)
+    scales = np.asarray(scales)
+    factors = np.asarray(factors)
+
+    def local(params, tile, centers, feats, scl, fac, pr, edges, evalid):
+        tile, centers, feats = tile[0], centers[0], feats[0]
+        scl, fac, pr = scl[0], fac[0], pr[0]
+        edges, evalid = edges[0], evalid[0]
+        patches = extract_multiscale_patches(
+            tile, centers, scl,
+            patch_sizes=tuple(mcfg.input_image_scales),
+            caps=staged.caps, quantize_uint8=cfg.quantize_uint8,
+        )
+        designed = jnp.concatenate([feats, fac], axis=1)
+        emb = model.apply(
+            {"params": params}, patches, designed, False
+        ).astype(jnp.float32)
+        labels, rounds = _collective_merge_rounds(
+            emb, pr, edges, evalid, threshold, R, max_rounds, sweeps, axis
+        )
+        return labels, rounds
+
+    rep = P()
+    shard = P(axis)
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                jax.tree.map(lambda _: rep, params),
+                shard, shard, shard, shard, shard, shard, shard, shard,
+            ),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
+    )
+    labels, rounds = fn(
+        params,
+        jnp.asarray(staged.tiles),
+        jnp.asarray(staged.centers),
+        jnp.asarray(staged.features, jnp.float32),
+        jnp.asarray(scales),
+        jnp.asarray(factors, jnp.float32),
+        jnp.asarray(staged.point_region),
+        jnp.asarray(staged.edges),
+        jnp.asarray(staged.edge_valid),
+    )
+    labels = np.asarray(labels)
+    uniq, dense = np.unique(labels, return_inverse=True)
+    return MergeResult(
+        region_to_cluster=dense.astype(np.int32),
+        num_clusters=len(uniq),
+        rounds=int(rounds),
+        edges_scored=int(rounds) * int(staged.edge_valid.sum()),
+    )

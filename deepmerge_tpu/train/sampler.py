@@ -225,6 +225,70 @@ class TripletSampler:
             }
 
 
+    # -- test mode (reference GenerateTestDataset) --------------------------
+
+    def _stacked_contexts(self, point_idx: np.ndarray, pad_to: int | None):
+        """(P, 3, s, s, C) stack of 3-context crops for the given points.
+
+        ``pad_to`` repeats the last point up to a fixed count so every
+        dispatch shares one compiled shape (the reference's variable-length
+        np.concatenate loops at ``MyUtils.py:122-139`` recompile nothing on
+        CPU but would churn shapes under jit).
+        """
+        point_idx = np.asarray(point_idx, np.int64)
+        real = len(point_idx)
+        if pad_to is not None:
+            if real > pad_to:
+                raise ValueError(f"{real} points > pad_to={pad_to}")
+            if real < pad_to:
+                point_idx = np.concatenate(
+                    [point_idx, np.full(pad_to - real, point_idx[-1])]
+                )
+        patches = self._context_patches(point_idx)
+        stack = np.stack([np.asarray(p) for p in patches], axis=1)
+        return stack, real
+
+    def test_object(self, region_index: int, pad_to: int | None = None):
+        """Per-object and per-neighbor 3-context point stacks.
+
+        Reference ``GenerateTestDataset`` (``MyUtils.py:110-196``): for one
+        polygon object, stack every sample point's (inner, object, scene)
+        crops — shape (P, 3, s, s, C), NHWC here vs the reference's
+        (P, 3, C, H, W) — and the same stack for each RAG neighbor (the
+        ``join`` field; our Scene's RAG edges). Returns
+        ``(object_stack, neighbor_stacks, obj_index, neighbor_indexes)``
+        like the reference's 4-tuple; ``neighbor_stacks`` is a list (the
+        reference np.concatenates them, which only works when every
+        neighbor has the same point count).
+
+        With ``pad_to`` set, each stack is a fixed (pad_to, 3, s, s, C)
+        array and the true point counts are appended as a 5th return.
+        """
+        pr = self.scene.regions.point_region
+        edges = np.asarray(self.scene.rag.edges)
+        mask_a = edges[:, 0] == region_index
+        mask_b = edges[:, 1] == region_index
+        neighbors = sorted(
+            set(edges[mask_a, 1].tolist()) | set(edges[mask_b, 0].tolist())
+        )
+        obj_pts = np.where(pr == region_index)[0]
+        if len(obj_pts) == 0:
+            raise ValueError(f"region {region_index} has no sample points")
+        object_stack, n_obj = self._stacked_contexts(obj_pts, pad_to)
+        neighbor_stacks, counts = [], [n_obj]
+        for k in neighbors:
+            pts = np.where(pr == k)[0]
+            if len(pts) == 0:
+                continue
+            s, n = self._stacked_contexts(pts, pad_to)
+            neighbor_stacks.append(s)
+            counts.append(n)
+        if pad_to is not None:
+            return (object_stack, neighbor_stacks, region_index, neighbors,
+                    np.asarray(counts, np.int32))
+        return object_stack, neighbor_stacks, region_index, neighbors
+
+
 class MultiScenePairSampler:
     """Training pairs across MANY scenes (the reference iterates pair txt
     files over all training tiles, ``MyUtils1.py:236-295``). Each scene keeps

@@ -84,6 +84,46 @@ def test_triplet_sampler(tiny_data_cfg):
         assert batch[key][0].shape == (4, 32, 32, 3)
 
 
+def test_triplet_test_mode_object_stacks(tiny_data_cfg):
+    """Reference GenerateTestDataset semantics (MyUtils.py:110-196):
+    per-object and per-neighbor (P, 3, s, s, C) point stacks keyed by the
+    RAG ('join' field) adjacency."""
+    scene = generate_scene(h=128, w=128, n_regions=16, n_objects=4, seed=5,
+                           points_per_region=2)
+    sampler = TripletSampler(scene, tiny_data_cfg, crop_size=32)
+    region = int(scene.rag.edges[0, 0])
+    obj_stack, nbr_stacks, obj_idx, nbr_idx = sampler.test_object(region)
+
+    pr = scene.regions.point_region
+    n_pts = int(np.sum(pr == region))
+    assert obj_idx == region
+    assert obj_stack.shape == (n_pts, 3, 32, 32, 3)
+
+    # neighbors == RAG adjacency of the region (the reference 'join' field)
+    edges = scene.rag.edges
+    expected = sorted(
+        set(edges[edges[:, 0] == region, 1].tolist())
+        | set(edges[edges[:, 1] == region, 0].tolist())
+    )
+    with_points = [k for k in expected if np.sum(pr == k) > 0]
+    assert nbr_idx == expected
+    assert len(nbr_stacks) == len(with_points)
+    for k, s in zip(with_points, nbr_stacks):
+        assert s.shape == (int(np.sum(pr == k)), 3, 32, 32, 3)
+
+    # object stack row 0 == the 3-context crops of that point, one-by-one
+    single, _ = sampler._stacked_contexts(np.where(pr == region)[0][:1], None)
+    np.testing.assert_allclose(obj_stack[0], single[0])
+
+    # fixed-shape mode pads every stack to pad_to and reports true counts
+    obj_p, nbrs_p, _, _, counts = sampler.test_object(region, pad_to=4)
+    assert obj_p.shape == (4, 3, 32, 32, 3)
+    assert counts[0] == n_pts
+    for s in nbrs_p:
+        assert s.shape == (4, 3, 32, 32, 3)
+    np.testing.assert_allclose(obj_p[:n_pts], obj_stack)
+
+
 def test_triplet_loss_values():
     a = jnp.array([[0.0, 0.0]])
     p = jnp.array([[0.0, 0.0]])   # d_ap = 0

@@ -52,6 +52,56 @@ def test_fused_gradients_match_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("n", [193, 49, 13])
+def test_fused_qkv_odd_sequence_matches_xla(n):
+    """v5 sequences are N+1 (extra designed-feature token) — odd lengths."""
+    from deepmerge_tpu.ops.pallas.fused_attention import fused_attention_qkv
+
+    r = np.random.RandomState(2)
+    b, h, d = 3, 4, 16
+    c = h * d
+    qkv = jnp.asarray(r.randn(b, n, 3 * c), jnp.float32)
+    bias = jnp.asarray(r.randn(h, n, n), jnp.float32)
+    q = qkv[:, :, :c].reshape(b, n, h, d)
+    k = qkv[:, :, c : 2 * c].reshape(b, n, h, d)
+    v = qkv[:, :, 2 * c :].reshape(b, n, h, d)
+    want = np.asarray(_xla_attention(q, k, v, bias)).reshape(b, n, c)
+    got = np.asarray(
+        fused_attention_qkv(qkv, bias, heads=h, block_b=2, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_v5_model_fused_flag_is_numerically_consistent():
+    """v5 (extra token) fused vs XLA attention paths of the full model agree.
+
+    Round-1 gated ``use_fused`` on ``not extra_token``; the kernel handles
+    the N+1 sequence fine (nets/ShfitScaleFormer.py:187-327 semantics).
+    """
+    import dataclasses
+
+    from deepmerge_tpu.config import ModelConfig
+    from deepmerge_tpu.models.s2former import build_model, init_params
+
+    base = ModelConfig(
+        variant="v5", input_image_scales=(8, 16, 32), cube=4, embed_dim=32,
+        depth=(1, 1, 1), num_heads=4, out_dim=10, dtype="float32",
+    )
+    cfg_x = dataclasses.replace(base, fused_attention=False)
+    cfg_f = dataclasses.replace(base, fused_attention=True)
+    m_x, m_f = build_model(cfg_x), build_model(cfg_f)
+    variables = init_params(m_x, jax.random.key(0))
+    r = np.random.RandomState(0)
+    patches = tuple(
+        jnp.asarray(r.rand(2, s, s, 3), jnp.float32)
+        for s in base.input_image_scales
+    )
+    designed = jnp.asarray(r.rand(2, 19), jnp.float32)
+    out_x = np.asarray(m_x.apply(variables, patches, designed, False))
+    out_f = np.asarray(m_f.apply(variables, patches, designed, False))
+    np.testing.assert_allclose(out_f, out_x, rtol=1e-4, atol=1e-4)
+
+
 def test_model_fused_flag_is_numerically_consistent(tiny_model_cfg):
     """fused vs XLA attention paths of the full model agree (f32, interpret)."""
     import dataclasses

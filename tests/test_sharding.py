@@ -126,3 +126,132 @@ def test_sharded_mosaic_merge_matches_global(small_scene):
         np.testing.assert_array_equal(
             got.region_to_cluster, want.region_to_cluster
         )
+
+
+def test_distributed_merge_exact_vs_device_merge_nonmonotone():
+    """Collective (psum/pmin) merge == single-device device_merge on an
+    ADVERSARIAL non-monotone chain.
+
+    Embeddings [1.8, 0.9, 0.0]: both chain edges pass in round 1
+    simultaneously, yet after merging {1,2} the {0}-side distance to the
+    merged mean (1.35) would NOT pass — the fixpoint depends on the exact
+    simultaneous-round semantics, which local-first merging can break. The
+    collective path must reproduce the global rounds bit-for-bit."""
+    import jax.numpy as jnp
+
+    from deepmerge_tpu.ops.labelprop import device_merge
+    from deepmerge_tpu.parallel.distributed import distributed_merge
+
+    emb = np.array([[1.8, 0.0], [0.9, 0.0], [0.0, 0.0]], np.float32)
+    pr = np.array([0, 1, 2], np.int32)
+    edges = np.array([[0, 1], [1, 2]], np.int32)
+
+    want, want_rounds = device_merge(
+        jnp.asarray(emb), jnp.asarray(pr), jnp.asarray(edges),
+        jnp.ones(2, bool), 1.0, num_regions=3, max_rounds=8,
+    )
+    want = np.asarray(want)
+    assert len(np.unique(want)) == 1  # the whole chain merges in round 1
+
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    got, rounds = distributed_merge(
+        emb, pr, 3, edges, mesh, threshold=1.0, max_rounds=8
+    )
+    np.testing.assert_array_equal(got, want)
+    assert rounds == int(want_rounds)
+
+    # and a case where the merged mean ENABLES a later merge (2 rounds)
+    emb2 = np.array([[0.0, 0.0], [0.9, 0.0], [2.2, 0.0]], np.float32)
+    want2, r2 = device_merge(
+        jnp.asarray(emb2), jnp.asarray(pr), jnp.asarray(edges),
+        jnp.ones(2, bool), 1.4, num_regions=3, max_rounds=8,
+    )
+    got2, rounds2 = distributed_merge(
+        emb2, pr, 3, edges, mesh, threshold=1.4, max_rounds=8
+    )
+    np.testing.assert_array_equal(got2, np.asarray(want2))
+    assert rounds2 == int(r2)
+
+
+def test_distributed_merge_matches_device_merge_random():
+    """Collective merge == device_merge across random scenes and shard
+    counts (points and edges physically sharded, padded unevenly)."""
+    import jax.numpy as jnp
+
+    from deepmerge_tpu.ops.labelprop import device_merge
+    from deepmerge_tpu.parallel.distributed import distributed_merge
+
+    rng = np.random.RandomState(3)
+    R, P, E = 37, 61, 53
+    emb = rng.randn(P, 5).astype(np.float32)
+    pr = rng.randint(0, R, P).astype(np.int32)
+    edges = rng.randint(0, R, (E, 2)).astype(np.int32)
+    thr = 2.0
+
+    want, _ = device_merge(
+        jnp.asarray(emb), jnp.asarray(pr), jnp.asarray(edges),
+        jnp.ones(E, bool), thr, num_regions=R, max_rounds=12,
+    )
+    for n_shards in (2, 8):
+        mesh = make_mesh(n_data=n_shards, n_model=1,
+                         devices=jax.devices()[:n_shards])
+        got, _ = distributed_merge(
+            emb, pr, R, edges, mesh, threshold=thr, max_rounds=12
+        )
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_extract_and_merge_sharded_disjoint_tiles(tiny_model_cfg):
+    """Memory-distributed extract+merge: per-shard tiles are PHYSICALLY
+    disjoint column strips (+halo), each device embeds only its own points,
+    and the partition equals the global single-device engine's."""
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.infer.merge import merge_scene_device
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.parallel.distributed import (
+        extract_and_merge_sharded,
+        stage_scene_shards,
+    )
+
+    from deepmerge_tpu.config import DataConfig
+
+    scene = generate_scene(h=128, w=1536, n_regions=48, n_objects=8,
+                           points_per_region=1, seed=11)
+    dcfg = DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+                      eval_batch_size=16)
+    n_shards = 4
+
+    staged = stage_scene_shards(scene, dcfg, n_shards)
+    # the shard tiles are strict sub-ranges of the mosaic, not copies of it
+    from deepmerge_tpu.ops.patches import scene_pad
+
+    pad = scene_pad(staged.caps, 3)
+    tile_w = staged.tiles.shape[2] - 2 * pad
+    assert tile_w < scene.image.shape[1] * 0.75, (
+        f"tiles {tile_w}px wide are not meaningfully smaller than the "
+        f"{scene.image.shape[1]}px mosaic"
+    )
+
+    model = build_model(tiny_model_cfg)
+    variables = init_params(model, jax.random.key(0))
+
+    # global reference: single-device extraction + device merge
+    extractor = FeatureExtractor(model, variables["params"], batch_size=16)
+    emb = extractor.extract_scene(scene, dcfg)
+    # a threshold that actually merges: median of scored RAG edge distances
+    from deepmerge_tpu.ops.segment import edge_distances, segment_mean
+
+    remb = segment_mean(jnp.asarray(emb), jnp.asarray(scene.regions.point_region),
+                        scene.regions.num_regions)
+    d = np.asarray(edge_distances(remb, jnp.asarray(scene.rag.edges, np.int32)))
+    thr = float(np.median(d))
+    want = merge_scene_device(scene, emb, threshold=thr, max_rounds=8)
+
+    mesh = make_mesh(n_data=n_shards, n_model=1,
+                     devices=jax.devices()[:n_shards])
+    got = extract_and_merge_sharded(
+        model, variables["params"], scene, dcfg, mesh,
+        threshold=thr, max_rounds=8,
+    )
+    assert got.num_clusters == want.num_clusters
+    np.testing.assert_array_equal(got.region_to_cluster, want.region_to_cluster)
