@@ -148,6 +148,22 @@ class FeatureExtractor:
 
         if mesh is None:
             self._fused = jax.jit(fused, static_argnames=("caps", "quantize"))
+
+            # whole-scene single dispatch: lax.map the fused batch over all
+            # point chunks inside ONE program (a dispatch costs ~28ms on
+            # relayed platforms; 4+ batches/scene made that ~8% of extract)
+            def fused_all(params, batch_stats, padded, centers, scales,
+                          factors, feats, caps, quantize):
+                def chunk(args):
+                    c, s, f, ft = args
+                    return fused(params, batch_stats, padded, c, s, f, ft,
+                                 caps, quantize)
+
+                return jax.lax.map(chunk, (centers, scales, factors, feats))
+
+            self._fused_all = jax.jit(
+                fused_all, static_argnames=("caps", "quantize")
+            )
         else:
             # multi-chip extraction: replicate params + scene, split the
             # point batch over the 'data' axis with shard_map (Pallas kernels
@@ -239,8 +255,37 @@ class FeatureExtractor:
         """Embed all sample points, KEEPING the result on device.
 
         Feeds region pooling / edge scoring / merge without any
-        device↔host round-trip of the embedding matrix.
+        device↔host round-trip of the embedding matrix. Single-device runs
+        embed the WHOLE scene in one dispatch (chunked lax.map inside jit).
         """
+        if self.mesh is None:
+            from deepmerge_tpu.ops.patches import adaptive_scales
+
+            ds = device_scene or stage_scene(scene, cfg)
+            n = ds.points_yx.shape[0]
+            bs = min(self.batch_size, n)
+            pad = (-n) % bs
+            idx = np.arange(n + pad)
+            if pad:
+                idx[n:] = 0
+            targets = tuple(cfg.patch_sizes) + (1,) * (
+                cfg.factor_slots - len(cfg.patch_sizes)
+            )
+            scales, factors = adaptive_scales(
+                ds.point_inner[idx], ds.point_object[idx], targets
+            )
+            nb = len(idx) // bs
+            emb = self._fused_all(
+                self.params, self.batch_stats, ds.padded,
+                jnp.asarray(ds.points_yx[idx]).reshape(nb, bs, 2),
+                jnp.asarray(scales).reshape(nb, bs, -1),
+                jnp.asarray(factors).reshape(nb, bs, -1),
+                jnp.asarray(ds.point_features[idx], jnp.float32).reshape(
+                    nb, bs, -1
+                ),
+                caps=ds.caps, quantize=cfg.quantize_uint8,
+            )
+            return emb.reshape(nb * bs, -1)[:n].astype(jnp.float32)
         chunks = list(self._extract_batches(scene, cfg, device_scene))
         return (
             chunks[0].astype(jnp.float32)

@@ -65,6 +65,7 @@ class Block(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    exact_gelu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -77,7 +78,8 @@ class Block(nn.Module):
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(dim=self.dim, hidden=int(self.dim * self.mlp_ratio),
-                drop=self.drop, dtype=self.dtype, name="mlp")(y, deterministic)
+                drop=self.drop, exact_gelu=self.exact_gelu, dtype=self.dtype,
+                name="mlp")(y, deterministic)
         return x + dp(y, deterministic)
 
 
@@ -96,6 +98,7 @@ class VisionTransformer(nn.Module):
     drop_ratio: float = 0.0
     attn_drop_ratio: float = 0.0
     drop_path_ratio: float = 0.0
+    exact_gelu: bool = False    # reference uses erf GELU (vit_model.py:146-148)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -113,7 +116,7 @@ class VisionTransformer(nn.Module):
         for i in range(self.depth):
             x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                       self.drop_ratio, self.attn_drop_ratio, float(dpr[i]),
-                      self.dtype, name=f"block{i}")(x, det)
+                      self.exact_gelu, self.dtype, name=f"block{i}")(x, det)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         feat = x[:, 0]
         if self.representation_size:
@@ -151,6 +154,7 @@ class ScaleEmbedTransformer(nn.Module):
     drop_ratio: float = 0.0
     attn_drop_ratio: float = 0.0
     drop_path_ratio: float = 0.0
+    exact_gelu: bool = False
     dtype: Any = jnp.float32
 
     IMG_SIZES = (28, 56, 112, 224)
@@ -188,7 +192,7 @@ class ScaleEmbedTransformer(nn.Module):
         for i in range(self.depth):
             x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                       self.drop_ratio, self.attn_drop_ratio, float(dpr[i]),
-                      self.dtype, name=f"block{i}")(x, det)
+                      self.exact_gelu, self.dtype, name=f"block{i}")(x, det)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
         emb = nn.Dense(self.out_dim, kernel_init=_trunc02, dtype=self.dtype,
@@ -205,3 +209,71 @@ class ScaleEmbedTransformer(nn.Module):
                               dtype=self.dtype, name="class_logits")(class_feat)
             return emb, logits, class_feat
         return emb
+
+
+# ---------------------------------------------------------------------------
+# Factories (reference ``vit_model.py:568-661``). Pretrained google-research
+# ``.pth`` weights load via ``compat.vit_import.load_torch_vit`` with the
+# same partial-load contract the reference uses (``:664-707``).
+# ---------------------------------------------------------------------------
+
+
+def vit_base_patch_scales_224_in21k(
+    num_classes: int = 21843, has_logits: bool = True,
+    is_feature_embed: bool = True, is_label_embed: bool = False, **kw,
+) -> ScaleEmbedTransformer:
+    """``vit_model.py:568-578`` — the multi-scale variant."""
+    return ScaleEmbedTransformer(
+        num_classes=num_classes, embed_dim=768, depth=12, num_heads=12,
+        feature_embed=is_feature_embed, label_embed=is_label_embed, **kw,
+    )
+
+
+def vit_base_patch16_224_in21k(num_classes: int = 21843,
+                               has_logits: bool = True, **kw):
+    """``vit_model.py:582-597`` (ViT-B/16, ImageNet-21k layout)."""
+    return VisionTransformer(
+        img_size=224, patch_size=16, embed_dim=768, depth=12, num_heads=12,
+        representation_size=768 if has_logits else None,
+        num_classes=num_classes, **kw,
+    )
+
+
+def vit_base_patch32_224_in21k(num_classes: int = 21843,
+                               has_logits: bool = True, **kw):
+    """``vit_model.py:599-614`` (ViT-B/32)."""
+    return VisionTransformer(
+        img_size=224, patch_size=32, embed_dim=768, depth=12, num_heads=12,
+        representation_size=768 if has_logits else None,
+        num_classes=num_classes, **kw,
+    )
+
+
+def vit_large_patch16_224_in21k(num_classes: int = 21843,
+                                has_logits: bool = True, **kw):
+    """``vit_model.py:617-631`` (ViT-L/16)."""
+    return VisionTransformer(
+        img_size=224, patch_size=16, embed_dim=1024, depth=24, num_heads=16,
+        representation_size=1024 if has_logits else None,
+        num_classes=num_classes, **kw,
+    )
+
+
+def vit_large_patch32_224_in21k(num_classes: int = 21843,
+                                has_logits: bool = True, **kw):
+    """``vit_model.py:633-647`` (ViT-L/32)."""
+    return VisionTransformer(
+        img_size=224, patch_size=32, embed_dim=1024, depth=24, num_heads=16,
+        representation_size=1024 if has_logits else None,
+        num_classes=num_classes, **kw,
+    )
+
+
+def vit_huge_patch14_224_in21k(num_classes: int = 21843,
+                               has_logits: bool = True, **kw):
+    """``vit_model.py:650-661`` (ViT-H/14)."""
+    return VisionTransformer(
+        img_size=224, patch_size=14, embed_dim=1280, depth=32, num_heads=16,
+        representation_size=1280 if has_logits else None,
+        num_classes=num_classes, **kw,
+    )
