@@ -38,7 +38,6 @@ import numpy as np
 _SKIP = (
     re.compile(r"\.relative_position_index$"),
     re.compile(r"\.num_batches_tracked$"),
-    re.compile(r"^aux[01]\.norm\.(weight|bias)$"),  # v5: created, never applied
 )
 
 
@@ -230,12 +229,19 @@ def torch_state_dict_to_flax(
     # nets/ShfitScaleFormer.py:866-871) — flax materializes no params for
     # uncalled modules, so those torch leaves are dead weight to drop.
     _DEAD_OK = {"final_features", "final_features_with_design", "head"}
+
+    def _dead(p):
+        # v5's AuxBolck_v5 creates a norm it never applies
+        # (nets/ShfitScaleFormer.py:415) — flax has no home for it there;
+        # v4's AuxBolck DOES apply it and maps normally.
+        return p[0] in _DEAD_OK or p[:2] in (("aux0", "norm"), ("aux1", "norm"))
+
     for coll in out:
         want = _flatten(template.get(coll, {}))
         got = _flatten(out[coll])
         missing = sorted(set(want) - set(got))
         extra = sorted(set(got) - set(want))
-        bad_extra = [p for p in extra if p[0] not in _DEAD_OK]
+        bad_extra = [p for p in extra if not _dead(p)]
         if missing or bad_extra:
             raise ValueError(
                 f"{coll}: missing leaves {missing[:6]}, extra {bad_extra[:6]}"

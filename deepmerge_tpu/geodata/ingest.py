@@ -122,6 +122,105 @@ def load_scene(
     )
 
 
+class EdgePairDataset:
+    """Flat RAG edge-pair dataset across MANY scenes.
+
+    Reference ``PolygonPointPairDataset`` (``MyUtils2.py:18-126``): scan a
+    polygon folder for ``<name>.shp`` scenes, read each scene's
+    ``lines.shp``, and enumerate every line feature whose ``LEFT_FID``/
+    ``RIGHT_FID`` are both valid as one sample
+    ``(edge_fid, scene_name, left_id, right_id)``. Differences from the
+    reference kept deliberate: the ``i = 17`` debug pin + ``break`` that
+    limits the reference to one hardcoded scene are exposed as an optional
+    ``scene_limit`` instead, and edge enumeration is lazy per scene file —
+    no GDAL datasets are held open.
+
+    ``scenes()`` yields (scene_name, file paths) for driving per-scene
+    extraction; ``by_scene()`` groups the flat pairs for padded batch
+    scoring (one compiled shape per scene batch).
+    """
+
+    def __init__(
+        self,
+        image_folder: str,
+        polygon_folder: str,
+        point_folder: str,
+        scene_limit: int | None = None,
+    ):
+        self.image_folder = image_folder
+        self.polygon_folder = polygon_folder
+        self.point_folder = point_folder
+        shp = sorted(
+            f for f in os.listdir(polygon_folder) if f.endswith(".shp")
+        )
+        if scene_limit is not None:
+            shp = shp[:scene_limit]
+        self.scene_names = [os.path.splitext(f)[0] for f in shp]
+        self.data: list[tuple[int, str, int, int]] = []
+        for name in self.scene_names:
+            lines_path = self.lines_path(name)
+            if not os.path.exists(lines_path):
+                continue
+            lines = ShapefileTable.read(lines_path)
+            lf = lines.get_field("LEFT_FID")
+            rf = lines.get_field("RIGHT_FID")
+            for fid, (a, b) in enumerate(zip(lf, rf)):
+                if a is None or b is None:
+                    continue
+                a, b = int(a), int(b)
+                if a == -1 or b == -1:  # scene-border half-edges
+                    continue
+                self.data.append((fid, name, a, b))
+
+    # -- reference Dataset protocol ----------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, index: int) -> tuple[int, str, int, int]:
+        return self.data[index]
+
+    # -- paths (reference folder layout, MyUtils2.py:50-63) ----------------
+
+    def image_path(self, name: str) -> str:
+        return os.path.join(self.image_folder, f"{name}.tif")
+
+    def polygon_path(self, name: str) -> str:
+        return os.path.join(self.polygon_folder, f"{name}.shp")
+
+    def points_path(self, name: str) -> str:
+        return os.path.join(self.point_folder, name, "PointsGCS.shp")
+
+    def lines_path(self, name: str) -> str:
+        return os.path.join(self.point_folder, name, "lines.shp")
+
+    # -- TPU-friendly accessors --------------------------------------------
+
+    def scenes(self):
+        for name in self.scene_names:
+            yield name, {
+                "image": self.image_path(name),
+                "polygons": self.polygon_path(name),
+                "points": self.points_path(name),
+                "lines": self.lines_path(name),
+            }
+
+    def by_scene(self) -> dict[str, np.ndarray]:
+        """scene_name -> (E, 3) int32 [edge_fid, left_id, right_id]."""
+        out: dict[str, list] = {}
+        for fid, name, a, b in self.data:
+            out.setdefault(name, []).append((fid, a, b))
+        return {
+            k: np.asarray(v, np.int32).reshape(-1, 3) for k, v in out.items()
+        }
+
+    def load_scene(self, name: str) -> Scene:
+        return load_scene(
+            self.image_path(name), self.polygon_path(name),
+            self.points_path(name), self.lines_path(name), name=name,
+        )
+
+
 def write_simi(lines_path: str, simi: np.ndarray) -> None:
     """Write scored distances into lines.shp's ``simi`` real field
     (``ExtractFeatures.py:182-186,216-219``)."""

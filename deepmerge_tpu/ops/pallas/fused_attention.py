@@ -127,6 +127,8 @@ def _fused_forward(q, k, v, bias, block_b: int, interpret: bool):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # f32 inputs at block_b=16 need >16MB scoped vmem
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(q, k, v, bias.astype(jnp.float32))
     return jnp.moveaxis(out[:b] if pad else out, 1, 2)

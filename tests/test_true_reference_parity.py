@@ -230,3 +230,53 @@ def test_import_cli_and_load_params(tmp_path):
     np.testing.assert_array_equal(
         a, net.state_dict()["final_features_with_design.weight"].numpy().T
     )
+
+
+def test_v4_forward_and_aux_heads_match_actual_reference():
+    """v4 (nets/ShfitScaleFormer.py:1013-1261): eval forward parity, plus
+    the deep-supervision aux heads compared standalone (eval mode — the
+    reference discards aux outputs in eval, so they're asserted directly
+    against the reference's own AuxBolck modules with mapped weights)."""
+    scales = [32, 64, 128]
+    torch.manual_seed(4)
+    net = REF.ShfitScaleFormer_v4(
+        is_designed_feature_embedding=True, cube_size=[8, 8],
+        input_image_scales=list(scales), embed_dim=768, depth=[1, 1, 1],
+        num_heads=12,
+    )
+    net.eval()
+
+    cfg = ModelConfig(
+        variant="v4", input_image_scales=tuple(scales), cube=8,
+        embed_dim=768, depth=(1, 1, 1), num_heads=12, out_dim=100,
+        dtype="float32", exact_gelu=True, fused_attention=False,
+    )
+    import jax
+
+    template = jax.device_get(init_params(build_model(cfg), jax.random.key(2)))
+    variables = torch_state_dict_to_flax(net.state_dict(), template)
+
+    nhwc, designed, nchw, designed_t = _inputs(2, scales, seed=7)
+    with torch.no_grad():
+        want = net(nchw, designed_t).numpy()
+    got = _flax_forward(cfg, variables, nhwc, designed)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # aux heads standalone (BN running stats, dropout off in eval)
+    from deepmerge_tpu.models.s2former import AuxBlock
+
+    r = np.random.RandomState(9)
+    for name, cube in (("aux0", (3, 8, 8)), ("aux1", (3, 4, 4))):
+        n_tokens = cube[0] * cube[1] * cube[2]
+        x = r.randn(2, n_tokens, 768).astype(np.float32)
+        with torch.no_grad():
+            want_aux = getattr(net, name)(torch.tensor(x)).numpy()
+        blk = AuxBlock(dim=768, out_dim=100, cube=cube)
+        got_aux = np.asarray(blk.apply(
+            {
+                "params": variables["params"][name],
+                "batch_stats": variables["batch_stats"][name],
+            },
+            x, True,
+        ))
+        np.testing.assert_allclose(got_aux, want_aux, rtol=1e-4, atol=1e-4)
