@@ -36,7 +36,10 @@ def main():
     POINTS_PER_REGION = 1
     BATCH = 2048
 
-    mcfg = ModelConfig(dtype="bfloat16")  # flagship v3-642
+    # flagship v3-642 by default; BENCH_MODEL=v5 etc. sweeps variants
+    mcfg = ModelConfig(
+        dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3")
+    )
     dcfg = DataConfig(max_window=512, eval_batch_size=BATCH)
     model = build_model(mcfg)
     variables = init_params(model, jax.random.key(0), batch=2)
@@ -63,16 +66,26 @@ def main():
 
     def run_once():
         t = time.perf_counter()
-        emb = extractor.extract_scene_device(scene, dcfg, device_scene=ds)
-        if verbose:  # honest phase attribution costs the extract/merge overlap
+        if verbose:
+            # two-dispatch path for honest phase attribution
+            emb = extractor.extract_scene_device(scene, dcfg, device_scene=ds)
             jax.block_until_ready(emb)
-        phases["extract"] = phases.get("extract", 0) + time.perf_counter() - t
-        t = time.perf_counter()
-        # ONE dispatch: pool + score + median threshold + merge rounds
-        simi, labels, rounds = device_score_and_merge(
-            emb, pr_dev, edges_dev, valid_dev,
-            num_regions=scene.regions.num_regions, max_rounds=8,
-        )
+            phases["extract"] = (
+                phases.get("extract", 0) + time.perf_counter() - t
+            )
+            t = time.perf_counter()
+            simi, labels, rounds = device_score_and_merge(
+                emb, pr_dev, edges_dev, valid_dev,
+                num_regions=scene.regions.num_regions, max_rounds=8,
+            )
+        else:
+            # the whole pipeline — gather, resize, forward, pool, score,
+            # threshold, merge — is ONE device program
+            simi, labels, rounds = extractor.segment_scene_device(
+                scene, dcfg, edges_dev, valid_dev,
+                num_regions=scene.regions.num_regions, max_rounds=8,
+                device_scene=ds,
+            )
         labels = np.asarray(labels)
         phases["score+merge"] = phases.get("score+merge", 0) + time.perf_counter() - t
         t = time.perf_counter()

@@ -7,6 +7,7 @@ The reference has no CLI at all — every hyperparameter is edited in source
   extract            extract + score + merge one scene folder
   process-folder     multi-scene batch (ExtractFeatures.py:241-303 analog)
   export-synthetic   write a synthetic scene in the reference file layout
+  import-ckpt        convert a reference torch .pth checkpoint to .msgpack
   config             print the resolved config
 """
 
@@ -55,6 +56,11 @@ def main(argv=None):
     p_syn.add_argument("--objects", type=int, default=24)
     p_syn.add_argument("--seed", type=int, default=0)
 
+    p_imp = sub.add_parser("import-ckpt")
+    p_imp.add_argument("pth", help="reference torch checkpoint (.pth)")
+    p_imp.add_argument("out", help="output .msgpack path")
+    p_imp.add_argument("overrides", nargs="*", default=[])
+
     p_cfg = sub.add_parser("config")
     p_cfg.add_argument("overrides", nargs="*", default=[])
 
@@ -63,6 +69,17 @@ def main(argv=None):
 
     if args.cmd == "config":
         print(cfg.to_json())
+        return 0
+
+    if args.cmd == "import-ckpt":
+        from deepmerge_tpu.compat.torch_import import (
+            load_torch_checkpoint,
+            save_flax_variables,
+        )
+
+        variables = load_torch_checkpoint(args.pth, cfg)
+        save_flax_variables(variables, args.out)
+        print(f"imported -> {args.out} (model {cfg.model.name})")
         return 0
 
     if args.cmd == "export-synthetic":

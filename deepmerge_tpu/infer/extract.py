@@ -164,6 +164,28 @@ class FeatureExtractor:
             self._fused_all = jax.jit(
                 fused_all, static_argnames=("caps", "quantize")
             )
+
+            # the ENTIRE inference pipeline as one program: extraction
+            # chunks + region pooling + edge scoring + threshold + merge
+            # rounds (ops/labelprop.device_score_and_merge inlines here)
+            def fused_segment(params, batch_stats, padded, centers, scales,
+                              factors, feats, n_points, pr, edges, valid,
+                              caps, quantize, num_regions, max_rounds):
+                from deepmerge_tpu.ops.labelprop import device_score_and_merge
+
+                emb = fused_all(params, batch_stats, padded, centers, scales,
+                                factors, feats, caps, quantize)
+                emb = emb.reshape(-1, emb.shape[-1])[:n_points]
+                return device_score_and_merge(
+                    emb.astype(jnp.float32), pr, edges, valid,
+                    num_regions=num_regions, max_rounds=max_rounds,
+                )
+
+            self._fused_segment = jax.jit(
+                fused_segment,
+                static_argnames=("caps", "quantize", "n_points",
+                                 "num_regions", "max_rounds"),
+            )
         else:
             # multi-chip extraction: replicate params + scene, split the
             # point batch over the 'data' axis with shard_map (Pallas kernels
@@ -259,36 +281,73 @@ class FeatureExtractor:
         embed the WHOLE scene in one dispatch (chunked lax.map inside jit).
         """
         if self.mesh is None:
-            from deepmerge_tpu.ops.patches import adaptive_scales
-
             ds = device_scene or stage_scene(scene, cfg)
-            n = ds.points_yx.shape[0]
-            bs = min(self.batch_size, n)
-            pad = (-n) % bs
-            idx = np.arange(n + pad)
-            if pad:
-                idx[n:] = 0
-            targets = tuple(cfg.patch_sizes) + (1,) * (
-                cfg.factor_slots - len(cfg.patch_sizes)
-            )
-            scales, factors = adaptive_scales(
-                ds.point_inner[idx], ds.point_object[idx], targets
-            )
-            nb = len(idx) // bs
+            chunked = self._chunked_inputs(ds, cfg)
+            n, _, args = chunked
             emb = self._fused_all(
-                self.params, self.batch_stats, ds.padded,
-                jnp.asarray(ds.points_yx[idx]).reshape(nb, bs, 2),
-                jnp.asarray(scales).reshape(nb, bs, -1),
-                jnp.asarray(factors).reshape(nb, bs, -1),
-                jnp.asarray(ds.point_features[idx], jnp.float32).reshape(
-                    nb, bs, -1
-                ),
+                self.params, self.batch_stats, ds.padded, *args,
                 caps=ds.caps, quantize=cfg.quantize_uint8,
             )
-            return emb.reshape(nb * bs, -1)[:n].astype(jnp.float32)
+            return emb.reshape(-1, emb.shape[-1])[:n].astype(jnp.float32)
         chunks = list(self._extract_batches(scene, cfg, device_scene))
         return (
             chunks[0].astype(jnp.float32)
             if len(chunks) == 1
             else jnp.concatenate(chunks, axis=0).astype(jnp.float32)
+        )
+
+    def _chunked_inputs(self, ds: DeviceScene, cfg: DataConfig):
+        from deepmerge_tpu.ops.patches import adaptive_scales
+
+        n = ds.points_yx.shape[0]
+        bs = min(self.batch_size, n)
+        pad = (-n) % bs
+        idx = np.arange(n + pad)
+        if pad:
+            idx[n:] = 0
+        targets = tuple(cfg.patch_sizes) + (1,) * (
+            cfg.factor_slots - len(cfg.patch_sizes)
+        )
+        scales, factors = adaptive_scales(
+            ds.point_inner[idx], ds.point_object[idx], targets
+        )
+        nb = len(idx) // bs
+        args = (
+            jnp.asarray(ds.points_yx[idx]).reshape(nb, bs, 2),
+            jnp.asarray(scales).reshape(nb, bs, -1),
+            jnp.asarray(factors).reshape(nb, bs, -1),
+            jnp.asarray(ds.point_features[idx], jnp.float32).reshape(
+                nb, bs, -1
+            ),
+        )
+        return n, nb, args
+
+    def segment_scene_device(
+        self,
+        scene: Scene,
+        cfg: DataConfig,
+        edges,
+        edge_valid,
+        num_regions: int,
+        max_rounds: int = 16,
+        device_scene: Optional[DeviceScene] = None,
+    ):
+        """Extract + pool + score + merge a scene in ONE dispatch.
+
+        ``edges``/``edge_valid`` are the padded RAG arrays (device or host);
+        returns (simi, labels, rounds) exactly like
+        ``ops/labelprop.device_score_and_merge`` — embeddings never leave
+        the program, let alone the device. Single-device path only.
+        """
+        if self.mesh is not None:
+            raise ValueError("segment_scene_device is single-device only")
+        ds = device_scene or stage_scene(scene, cfg)
+        n, _, args = self._chunked_inputs(ds, cfg)
+        return self._fused_segment(
+            self.params, self.batch_stats, ds.padded, *args,
+            n_points=n,
+            pr=jnp.asarray(scene.regions.point_region, jnp.int32),
+            edges=jnp.asarray(edges), valid=jnp.asarray(edge_valid),
+            caps=ds.caps, quantize=cfg.quantize_uint8,
+            num_regions=num_regions, max_rounds=max_rounds,
         )

@@ -104,3 +104,40 @@ def test_four_band_scene_end_to_end():
     assert emb.shape == (scene.regions.num_points, 8)
     simi = score_scene_edges(scene, emb)
     assert np.isfinite(simi).all()
+
+
+def test_segment_scene_device_matches_two_step(tiny_model_cfg, tiny_data_cfg):
+    """The one-dispatch extract+score+merge program == the two-step path."""
+    import jax.numpy as jnp
+
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.ops.labelprop import device_score_and_merge
+
+    scene = generate_scene(h=128, w=128, n_regions=24, n_objects=5, seed=6)
+    model = build_model(tiny_model_cfg)
+    variables = init_params(model, jax.random.key(0))
+    extractor = FeatureExtractor(model, variables["params"], batch_size=16)
+
+    edges = np.asarray(scene.rag.edges, np.int32)
+    pad = (-len(edges)) % 32
+    valid = np.ones(len(edges), bool)
+    if pad:
+        edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+
+    emb = extractor.extract_scene_device(scene, tiny_data_cfg)
+    want_simi, want_labels, want_rounds = device_score_and_merge(
+        emb, jnp.asarray(scene.regions.point_region, jnp.int32),
+        jnp.asarray(edges), jnp.asarray(valid),
+        num_regions=scene.regions.num_regions, max_rounds=8,
+    )
+    got_simi, got_labels, got_rounds = extractor.segment_scene_device(
+        scene, tiny_data_cfg, edges, valid,
+        num_regions=scene.regions.num_regions, max_rounds=8,
+    )
+    np.testing.assert_array_equal(np.asarray(got_labels),
+                                  np.asarray(want_labels))
+    np.testing.assert_allclose(np.asarray(got_simi)[valid],
+                               np.asarray(want_simi)[valid], rtol=1e-5)
+    assert int(got_rounds) == int(want_rounds)

@@ -222,6 +222,17 @@ def test_import_cli_and_load_params(tmp_path):
         "model.input_image_scales=16,32,64", "model.depth=1,1,1",
         "model.dtype=float32", "model.exact_gelu=true",
     ])
+    # the same flow through the package CLI subcommand
+    from deepmerge_tpu.__main__ import main as cli_main
+
+    out2 = tmp_path / "imported2.msgpack"
+    rc2 = cli_main([
+        "import-ckpt", str(pth), str(out2),
+        "model.input_image_scales=16,32,64", "model.depth=1,1,1",
+        "model.dtype=float32", "model.exact_gelu=true",
+    ])
+    assert rc2 == 0 and out2.exists()
+
     _, params_msgpack, _ = load_params(cfg, str(out))
     _, params_pth, _ = load_params(cfg, str(pth))
     a = np.asarray(params_msgpack["final_features_with_design"]["kernel"])

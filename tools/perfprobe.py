@@ -24,34 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-
-def sync_time(fn, *args, iters=3):
-    """Wall time of one dispatch of fn (scalar-returning), synced via float()."""
-    float(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = float(fn(*args))
-    return (time.perf_counter() - t0) / iters * 1000
-
-
-def rep_probe(make_body, *args, k=16):
-    """Per-op ms for one application of make_body's op.
-
-    make_body(i, *args) -> scalar contribution; must USE i to perturb its
-    input so the loop cannot be hoisted. Runs K and 2K reps; slope = op ms.
-    """
-
-    def loop(k_static):
-        @jax.jit
-        def f(*a):
-            def body(i, acc):
-                return acc + make_body(i, *a)
-            return lax.fori_loop(0, k_static, body, jnp.float32(0.0))
-        return f
-
-    t1 = sync_time(loop(k), *args)
-    t2 = sync_time(loop(2 * k), *args)
-    return (t2 - t1) / k
+from deepmerge_tpu.utils.profiling import rep_probe, sync_time  # noqa: E402
 
 
 def probe_gemms(B=2048):
