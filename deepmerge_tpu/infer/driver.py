@@ -29,6 +29,14 @@ def load_params(cfg: Config, checkpoint_path: Optional[str] = None):
     model = build_model(cfg.model)
     variables = init_params(model, jax.random.key(0))
     params, batch_stats = variables["params"], variables.get("batch_stats")
+    if not checkpoint_path:
+        import warnings
+
+        warnings.warn(
+            "load_params: no checkpoint_path given — using FRESH random "
+            "parameters (embeddings will be untrained)",
+            stacklevel=2,
+        )
     if checkpoint_path and checkpoint_path.endswith(".msgpack"):
         from deepmerge_tpu.compat.torch_import import load_flax_variables
 

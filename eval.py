@@ -39,6 +39,8 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=1.0,
                    help="merge distance threshold (= train margin)")
     p.add_argument("--checkpoint-dir", default="/tmp/deepmerge_eval_ckpt")
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from the checkpoint dir")
     args = p.parse_args(argv)
 
     if args.full:
@@ -71,6 +73,7 @@ def main(argv=None):
             num_epochs=epochs,
             seed=args.train_seed,
             checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
         ),
     )
     print(f"[eval] model={cfg.model.name} epochs={epochs} "
