@@ -172,6 +172,37 @@ class EdgePairDataset:
                     continue
                 self.data.append((fid, name, a, b))
 
+    @classmethod
+    def single_scene(
+        cls,
+        image_path: str,
+        polygon_path: str,
+        lines_path: str,
+        points_path: str,
+    ) -> "EdgePairDataset":
+        """One explicit scene (reference ``PolygonConnectPointDataset``,
+        ``MyUtils2.py:128-209`` — same 4-tuple samples, paths given
+        directly instead of folder-derived)."""
+        ds = cls.__new__(cls)
+        name = os.path.splitext(os.path.basename(polygon_path))[0]
+        ds.image_folder = os.path.dirname(image_path)
+        ds.polygon_folder = os.path.dirname(polygon_path)
+        ds.point_folder = os.path.dirname(os.path.dirname(points_path))
+        ds._paths = {name: {
+            "image": image_path, "polygons": polygon_path,
+            "points": points_path, "lines": lines_path,
+        }}
+        ds.scene_names = [name]
+        ds.data = []
+        lines = ShapefileTable.read(lines_path)
+        lf = lines.get_field("LEFT_FID")
+        rf = lines.get_field("RIGHT_FID")
+        for fid, (a, b) in enumerate(zip(lf, rf)):
+            if a is None or b is None or int(a) == -1 or int(b) == -1:
+                continue
+            ds.data.append((fid, name, int(a), int(b)))
+        return ds
+
     # -- reference Dataset protocol ----------------------------------------
 
     def __len__(self) -> int:
@@ -180,19 +211,35 @@ class EdgePairDataset:
     def __getitem__(self, index: int) -> tuple[int, str, int, int]:
         return self.data[index]
 
-    # -- paths (reference folder layout, MyUtils2.py:50-63) ----------------
+    # -- paths (reference folder layout, MyUtils2.py:50-63; explicit paths
+    # when constructed via single_scene) -----------------------------------
+
+    def _path(self, name: str, kind: str, default: str) -> str:
+        explicit = getattr(self, "_paths", {})
+        if name in explicit:
+            return explicit[name][kind]
+        return default
 
     def image_path(self, name: str) -> str:
-        return os.path.join(self.image_folder, f"{name}.tif")
+        return self._path(
+            name, "image", os.path.join(self.image_folder, f"{name}.tif")
+        )
 
     def polygon_path(self, name: str) -> str:
-        return os.path.join(self.polygon_folder, f"{name}.shp")
+        return self._path(
+            name, "polygons", os.path.join(self.polygon_folder, f"{name}.shp")
+        )
 
     def points_path(self, name: str) -> str:
-        return os.path.join(self.point_folder, name, "PointsGCS.shp")
+        return self._path(
+            name, "points",
+            os.path.join(self.point_folder, name, "PointsGCS.shp"),
+        )
 
     def lines_path(self, name: str) -> str:
-        return os.path.join(self.point_folder, name, "lines.shp")
+        return self._path(
+            name, "lines", os.path.join(self.point_folder, name, "lines.shp")
+        )
 
     # -- TPU-friendly accessors --------------------------------------------
 

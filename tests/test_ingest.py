@@ -128,3 +128,23 @@ def test_edge_pair_dataset_across_scenes(tmp_path):
     # a scene loads back through the dataset's own path helpers
     loaded = ds.load_scene("tile2")
     assert loaded.regions.num_regions == scenes[1].regions.num_regions
+
+
+def test_edge_pair_dataset_single_scene(tmp_path):
+    """Explicit-path single-scene constructor (PolygonConnectPointDataset,
+    MyUtils2.py:128-209)."""
+    from deepmerge_tpu.geodata.ingest import EdgePairDataset
+
+    scene = generate_scene(h=64, w=64, n_regions=8, n_objects=3, seed=5,
+                           name="solo")
+    export_scene(scene, str(tmp_path))
+    ds = EdgePairDataset.single_scene(
+        str(tmp_path / "solo.tif"), str(tmp_path / "solo.shp"),
+        str(tmp_path / "solo" / "lines.shp"),
+        str(tmp_path / "solo" / "PointsGCS.shp"),
+    )
+    assert len(ds) == len(scene.rag.edges)
+    fid, name, a, b = ds[0]
+    assert name == "solo"
+    loaded = ds.load_scene("solo")
+    assert loaded.regions.num_regions == 8
