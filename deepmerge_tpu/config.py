@@ -42,6 +42,9 @@ class ModelConfig:
     drop_path_ratio: float = 0.0
     dtype: str = "bfloat16"                   # compute dtype on TPU (params stay f32)
     fused_attention: bool = True              # Pallas fused attention (inference path)
+    fused_block: bool = True                  # whole-block Pallas megakernel
+                                              # (active when fused_attention
+                                              # is on and all dropouts are 0)
     exact_gelu: bool = False                  # erf GELU (torch parity) vs tanh approx
                                               # (~15ms/block cheaper on VPU; value
                                               # diff <=3e-3, well inside the 0.5%

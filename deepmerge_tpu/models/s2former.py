@@ -215,8 +215,70 @@ class DropPath(nn.Module):
         return x * mask / keep
 
 
+class _LNParams(nn.Module):
+    """LayerNorm's param tree (scale/bias) without the op — the fused block
+    kernel applies the normalization itself. Names/shapes/inits match
+    ``nn.LayerNorm`` exactly so checkpoints are interchangeable."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (self.dim,)),
+            self.param("bias", nn.initializers.zeros_init(), (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """nn.Dense's kernel/bias params without the matmul."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", _trunc02, (self.in_dim, self.out_dim)),
+            self.param("bias", nn.initializers.zeros_init(), (self.out_dim,)),
+        )
+
+
+class _AttnParams(nn.Module):
+    """CrossScaleAttention's param tree (qkv/proj/bias table)."""
+
+    dim: int
+    num_heads: int
+    table_size: int
+
+    @nn.compact
+    def __call__(self):
+        table = self.param(
+            "rel_pos_bias_table", _trunc02, (self.table_size, self.num_heads)
+        )
+        wq, bq = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+        return table, wq, bq, wp, bp
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        wu, bu = _DenseParams(self.dim, self.hidden, name="Dense_0")()
+        wd, bd = _DenseParams(self.hidden, self.dim, name="Dense_1")()
+        return wu, bu, wd, bd
+
+
 class CrossScaleBlock(nn.Module):
-    """Pre-LN attention + FFN block (nets/ShfitScaleFormer.py:158-184)."""
+    """Pre-LN attention + FFN block (nets/ShfitScaleFormer.py:158-184).
+
+    With ``fused_block`` (and ``fused``) on and every stochastic knob at
+    zero, the ENTIRE block runs as one Pallas megakernel
+    (``ops/pallas/fused_block.py``) — same param tree, same math.
+    """
 
     dim: int
     num_heads: int
@@ -227,11 +289,18 @@ class CrossScaleBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fused: bool = True
+    fused_block: bool = False
     exact_gelu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if (
+            self.fused_block and self.fused
+            and self.drop == 0.0 and self.attn_drop == 0.0
+            and self.drop_path == 0.0
+        ):
+            return self._fused_block(x)
         dp = DropPath(self.drop_path)
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         y = CrossScaleAttention(
@@ -248,6 +317,42 @@ class CrossScaleBlock(nn.Module):
             name="mlp",
         )(y, deterministic)
         return x + dp(y, deterministic)
+
+    def _fused_block(self, x):
+        from deepmerge_tpu.ops.pallas.fused_block import fused_block
+        from deepmerge_tpu.ops.pallas.window_gather import default_interpret
+
+        if self.extra_token:
+            idx, table_size = rel_pos_index_extra_token(self.cube)
+        else:
+            idx = rel_pos_index(self.cube)
+            c_, h_, w_ = self.cube
+            table_size = (2 * c_ - 1) * (2 * h_ - 1) * (2 * w_ - 1)
+        n = idx.shape[0]
+        assert x.shape[1] == n, f"sequence {x.shape[1]} != cube tokens {n}"
+
+        l1s, l1b = _LNParams(self.dim, name="norm1")()
+        table, wq, bq, wp, bp = _AttnParams(
+            self.dim, self.num_heads, table_size, name="attn"
+        )()
+        l2s, l2b = _LNParams(self.dim, name="norm2")()
+        wu, bu, wd, bd = _MlpParams(
+            self.dim, int(self.dim * self.mlp_ratio), name="mlp"
+        )()
+        bias = table[idx.reshape(-1)].reshape(
+            n, n, self.num_heads
+        ).transpose(2, 0, 1)
+
+        w = lambda a: a.astype(self.dtype)
+        f32 = lambda a: a.astype(jnp.float32)
+        params = (
+            f32(l1s), f32(l1b), w(wq), w(bq), f32(bias), w(wp), w(bp),
+            f32(l2s), f32(l2b), w(wu), w(bu), w(wd), w(bd),
+        )
+        return fused_block(
+            x.astype(self.dtype), params, heads=self.num_heads,
+            exact_gelu=self.exact_gelu, interpret=default_interpret(),
+        )
 
 
 class PatchEmbed(nn.Module):
@@ -403,6 +508,7 @@ class S2Former(nn.Module):
                     attn_drop=cfg.attn_drop_ratio,
                     drop_path=(drop_path[i] if drop_path else 0.0),
                     fused=cfg.fused_attention,
+                    fused_block=cfg.fused_block,
                     exact_gelu=cfg.exact_gelu,
                     dtype=dtype, name=f"{tag}_{i}",
                 )
