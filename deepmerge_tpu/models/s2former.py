@@ -349,9 +349,15 @@ class CrossScaleBlock(nn.Module):
             f32(l1s), f32(l1b), w(wq), w(bq), f32(bias), w(wp), w(bp),
             f32(l2s), f32(l2b), w(wu), w(bu), w(wd), w(bd),
         )
+        # VMEM tile size: bt=2 everywhere. Isolated-kernel sweeps prefer
+        # bigger tiles for the short stage-1/2 sequences (9.3 vs 11.5ms at
+        # n=48), but inside the full extraction program per-stage tile
+        # sizes regressed end-to-end 3.13 → 1.86 MPix/s — whole-program
+        # scheduling dominates the isolated optimum.
         return fused_block(
             x.astype(self.dtype), params, heads=self.num_heads,
-            exact_gelu=self.exact_gelu, interpret=default_interpret(),
+            exact_gelu=self.exact_gelu, block_b=2,
+            interpret=default_interpret(),
         )
 
 
