@@ -34,7 +34,7 @@ def main():
     H = W = 2048           # 4.2 MPix scene
     N_REGIONS = 8192       # ~2k superpixels per MPix (BASELINE.json configs)
     POINTS_PER_REGION = 1
-    BATCH = 2048
+    BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 
     # flagship v3-642 by default; BENCH_MODEL=v5 etc. sweeps variants
     mcfg = ModelConfig(
@@ -49,7 +49,11 @@ def main():
         points_per_region=POINTS_PER_REGION, seed=0,
     )
     ds = stage_scene(scene, dcfg)
-    extractor = FeatureExtractor(model, variables["params"], batch_size=BATCH)
+    extractor = FeatureExtractor(
+        model, variables["params"],
+        batch_stats=dict(variables.get("batch_stats", {})) or None,
+        batch_size=BATCH,
+    )
 
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
     phases = {}
