@@ -72,6 +72,27 @@ def create_train_state(
     )
 
 
+
+
+def _training_model(model: S2Former) -> S2Former:
+    """Disable the whole-block megakernel for TRAINING.
+
+    Its custom VJP re-executes the block in the backward (good economics at
+    extraction batch sizes, where the kernel is forward-only); at training
+    batch 120 the recompute costs more than the fused forward saves —
+    measured 199.8 vs 169.0 ms/step on v5e. Same params either way
+    (asserted in tests/test_fused_block.py), so this is purely a speed
+    choice.
+    """
+    if not model.cfg.fused_block:
+        return model
+    import dataclasses
+
+    from deepmerge_tpu.models.s2former import build_model
+
+    return build_model(dataclasses.replace(model.cfg, fused_block=False))
+
+
 def make_train_step(
     model: S2Former,
     cfg: Config,
@@ -87,6 +108,7 @@ def make_train_step(
     ``aux_weights`` enables v4/v5 deep supervision (the reference keeps the
     weighted aux sum commented out at ``Train_SMT.py:285-288``; default off).
     """
+    model = _training_model(model)
     margin = cfg.train.margin
     has_aux_heads = model.cfg.variant in ("v4", "v5")
 
@@ -194,6 +216,7 @@ def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
     """
     from deepmerge_tpu.ops.patches import extract_multiscale_patches
 
+    model = _training_model(model)
     margin = cfg.train.margin
     has_aux_heads = model.cfg.variant in ("v4", "v5")
     patch_sizes = tuple(cfg.data.patch_sizes)
@@ -266,6 +289,7 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
     """
     from deepmerge_tpu.ops.patches import extract_multiscale_patches
 
+    model = _training_model(model)
     margin = cfg.train.margin
     has_aux_heads = model.cfg.variant in ("v4", "v5")
     patch_sizes = tuple(cfg.data.patch_sizes)

@@ -105,7 +105,9 @@ def test_model_fused_block_consistent(variant):
 
 
 def test_model_fused_block_trains():
-    """The megakernel's custom VJP drives a real train step (drops all 0)."""
+    """A fused_block=True config trains: the step builder swaps in the XLA
+    path (``loop._training_model`` — the recompute VJP loses at train batch
+    sizes) on the SAME param tree, so the flag is safe to leave on."""
     from deepmerge_tpu.config import Config, DataConfig
     from deepmerge_tpu.train.loop import create_train_state, make_train_step
 
