@@ -89,6 +89,40 @@ def check_attention():
               atol=5e-3, rtol=5e-3)
 
 
+def check_fused_block():
+    """Megakernel vs the INTERPRET lowering of the same kernel code.
+
+    Comparing against the separate XLA implementation is dominated by
+    f32-matmul-emulation rounding compounded through the 6-op chain
+    (measured: interpret-vs-XLA alone differs 4.4e-2 at these magnitudes,
+    while end-to-end merge partitions are bit-identical) — so the Mosaic
+    check isolates kernel-lowering bugs by comparing against interpret
+    mode, and a loose sanity bound covers the XLA reference.
+    """
+    from deepmerge_tpu.ops.pallas.fused_block import _xla_block, fused_block
+
+    r = np.random.RandomState(3)
+    for n, tag in ((192, "flagship"), (193, "v5 extra-token")):
+        c, heads, hid = 768, 12, 3072
+        rr = lambda *s: jnp.asarray(r.randn(*s) * 0.05, jnp.float32)
+        params = (
+            jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+            rr(c, 3 * c), rr(3 * c), rr(heads, n, n), rr(c, c), rr(c),
+            jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+            rr(c, hid), rr(hid), rr(hid, c), rr(c),
+        )
+        x = jnp.asarray(r.randn(8, n, c), jnp.float32)
+        want = np.asarray(
+            fused_block(x, params, heads=heads, interpret=True)
+        )
+        got = np.asarray(fused_block(x, params, heads=heads))
+        check(f"fused_block vs interpret n={n} ({tag})", got, want,
+              atol=5e-2, rtol=5e-2)
+        xla = np.asarray(_xla_block(x, params, heads, False))
+        check(f"fused_block vs XLA ref  n={n} ({tag})", got, xla,
+              atol=2e-1, rtol=2e-1)
+
+
 def check_resize():
     from deepmerge_tpu.ops.patches import extract_multiscale_patches, pad_scene
 
@@ -142,6 +176,8 @@ def main():
     check_window_gather()
     print("[fused attention]")
     check_attention()
+    print("[fused block megakernel]")
+    check_fused_block()
     print("[resize]")
     check_resize()
     if FAILURES:
