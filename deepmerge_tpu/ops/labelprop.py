@@ -28,23 +28,38 @@ from deepmerge_tpu.ops.segment import edge_distances, segment_mean
 
 
 def _propagate(labels, edges, valid, sweeps: int):
-    """Min-label connected components over masked edges."""
-    n = labels.shape[0]
-    a, b = edges[:, 0], edges[:, 1]
+    """Min-label connected components over masked edges.
 
-    def sweep(_, labels):
+    Early-exits once a sweep changes nothing — converged labels are a
+    fixpoint of the sweep, so the result is identical to running all
+    ``sweeps`` iterations (which remains the worst-case bound).
+    """
+    a, b = edges[:, 0], edges[:, 1]
+    big = jnp.iinfo(labels.dtype).max
+
+    def sweep(labels):
         la = labels[a]
         lb = labels[b]
         m = jnp.minimum(la, lb)
-        big = jnp.iinfo(labels.dtype).max
-        upd_a = jnp.where(valid, m, big)
-        upd_b = jnp.where(valid, m, big)
-        labels = labels.at[a].min(upd_a)
-        labels = labels.at[b].min(upd_b)
+        upd = jnp.where(valid, m, big)
+        labels = labels.at[a].min(upd)
+        labels = labels.at[b].min(upd)
         # pointer jumping: labels follow their own label's label
         return jnp.minimum(labels, labels[labels])
 
-    return jax.lax.fori_loop(0, sweeps, sweep, labels)
+    def body(state):
+        labels, i, _ = state
+        new = sweep(labels)
+        return new, i + 1, jnp.any(new != labels)
+
+    def cond(state):
+        _, i, changed = state
+        return changed & (i < sweeps)
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.int32(0), jnp.bool_(True))
+    )
+    return labels
 
 
 @functools.partial(
