@@ -31,8 +31,9 @@ def main():
     from deepmerge_tpu.models.s2former import build_model, init_params
     from deepmerge_tpu.train.sampler import stage_scene
 
-    H = W = 2048           # 4.2 MPix scene
-    N_REGIONS = 8192       # ~2k superpixels per MPix (BASELINE.json configs)
+    H = W = int(os.environ.get("BENCH_SCENE", 2048))   # 4.2 MPix default
+    # ~2k superpixels per MPix (BASELINE.json configs), scaled with the scene
+    N_REGIONS = int(8192 * (H * W) / (2048 * 2048))
     POINTS_PER_REGION = 1
     BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 
