@@ -299,6 +299,9 @@ class CrossScaleBlock(nn.Module):
             self.fused_block and self.fused
             and self.drop == 0.0 and self.attn_drop == 0.0
             and self.drop_path == 0.0
+            # Mosaic has no erf/erfc lowering — exact-GELU (torch-parity)
+            # configs take the XLA path
+            and not self.exact_gelu
         ):
             return self._fused_block(x)
         dp = DropPath(self.drop_path)

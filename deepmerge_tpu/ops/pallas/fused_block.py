@@ -123,7 +123,10 @@ def fused_block(x, params, heads: int, exact_gelu: bool = False,
         w_proj, b_proj, ln2_scale, ln2_bias, w_up, b_up, w_dn, b_dn) —
         LN params float32, weights in x's dtype.
       heads: static head count.
-      exact_gelu: erf GELU (torch parity) vs tanh approximation.
+      exact_gelu: erf GELU (torch parity) vs tanh approximation. NOTE:
+        Mosaic has no erf/erfc lowering, so exact_gelu=True only works in
+        interpret mode — the model layer routes exact-GELU configs to the
+        XLA path (models/s2former.py CrossScaleBlock).
       block_b: samples per program (VMEM tile).
 
     Returns (B, N, C) in x's dtype. Differentiable (XLA recompute VJP).
