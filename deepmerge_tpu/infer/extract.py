@@ -297,6 +297,22 @@ class FeatureExtractor:
         )
 
     def _chunked_inputs(self, ds: DeviceScene, cfg: DataConfig):
+        """Per-point metadata chunked + device-resident, cached per staged
+        scene (the relay uploads ~1MB per call otherwise — repeated merges
+        of one staged scene shouldn't re-pay it)."""
+        key = (id(ds), self.batch_size, cfg.patch_sizes, cfg.factor_slots)
+        cache = getattr(self, "_chunk_cache", None)
+        if cache is None:
+            cache = self._chunk_cache = {}
+        if key in cache:
+            return cache[key]
+        out = self._chunked_inputs_uncached(ds, cfg)
+        if len(cache) > 8:  # bound: staged scenes are transient
+            cache.clear()
+        cache[key] = out
+        return out
+
+    def _chunked_inputs_uncached(self, ds: DeviceScene, cfg: DataConfig):
         from deepmerge_tpu.ops.patches import adaptive_scales
 
         n = ds.points_yx.shape[0]
