@@ -32,8 +32,11 @@ def main():
     from deepmerge_tpu.train.sampler import stage_scene
 
     H = W = int(os.environ.get("BENCH_SCENE", 2048))   # 4.2 MPix default
-    # ~2k superpixels per MPix (BASELINE.json configs), scaled with the scene
-    N_REGIONS = int(8192 * (H * W) / (2048 * 2048))
+    # ~2k superpixels per MPix (BASELINE.json configs), scaled with the
+    # scene; BENCH_DENSITY overrides regions/MPix (the dominant cost knob —
+    # FLOPs/MPix = density x 20.2 GFLOP, see ROOFLINE.md §5)
+    density = float(os.environ.get("BENCH_DENSITY", 8192 / 4.194304))
+    N_REGIONS = max(int(density * H * W / 1e6), 16)
     POINTS_PER_REGION = 1
     BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 

@@ -316,7 +316,13 @@ class FeatureExtractor:
         from deepmerge_tpu.ops.patches import adaptive_scales
 
         n = ds.points_yx.shape[0]
-        bs = min(self.batch_size, n)
+        # balanced chunks: ceil-divide the points over the minimum number
+        # of chunks instead of padding the tail up to batch_size (8193
+        # points at batch 2048 would otherwise compute 12288 rows; the
+        # mild 8-row alignment keeps shapes friendly)
+        nb_min = max(-(-n // self.batch_size), 1)
+        per_chunk = -(-n // nb_min)
+        bs = min(-(-per_chunk // 8) * 8, max(n, 1))
         pad = (-n) % bs
         idx = np.arange(n + pad)
         if pad:
