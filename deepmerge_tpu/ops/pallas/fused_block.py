@@ -186,7 +186,7 @@ def _fused_block_forward(x, params, heads, exact_gelu, block_b, interpret):
         out_shape=jax.ShapeDtypeStruct((b + pad, n, c), x.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
     )(x, l1s, l1b, wq, bq, bias.astype(jnp.float32), wp, bp, l2s, l2b,
