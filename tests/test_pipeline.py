@@ -141,3 +141,26 @@ def test_segment_scene_device_matches_two_step(tiny_model_cfg, tiny_data_cfg):
     np.testing.assert_allclose(np.asarray(got_simi)[valid],
                                np.asarray(want_simi)[valid], rtol=1e-5)
     assert int(got_rounds) == int(want_rounds)
+
+
+def test_extraction_chunks_are_balanced(tiny_model_cfg, tiny_data_cfg):
+    """Odd point counts must not pad up to batch_size (2097 points at batch
+    2048 once computed 4096 rows — a 2x waste measured on the bench)."""
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.train.sampler import stage_scene
+
+    scene = generate_scene(h=160, w=160, n_regions=25, n_objects=4, seed=8,
+                           points_per_region=3)  # 75 points
+    model = build_model(tiny_model_cfg)
+    variables = init_params(model, jax.random.key(0))
+    ex = FeatureExtractor(model, variables["params"], batch_size=16)
+    ds = stage_scene(scene, tiny_data_cfg)
+    n, nb, args = ex._chunked_inputs(ds, tiny_data_cfg)
+    total = args[0].shape[0] * args[0].shape[1]
+    assert n == scene.regions.num_points
+    assert nb == -(-n // 16)          # minimum chunk count for batch 16
+    assert total - n < nb * 8, (total, n)   # ≤ alignment slack per chunk
+    # and the embeddings still come out right
+    emb = ex.extract_scene_device(scene, tiny_data_cfg, device_scene=ds)
+    assert emb.shape == (n, tiny_model_cfg.out_dim)
