@@ -21,6 +21,12 @@ from deepmerge_tpu.config import Config, apply_overrides
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="deepmerge_tpu")
+    parser.add_argument(
+        "--platform",
+        choices=("cpu", "tpu"),
+        help="force the JAX platform (relayed-TPU sites override the "
+        "JAX_PLATFORMS env var, so this goes through jax.config)",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p_train = sub.add_parser("train")
@@ -65,6 +71,10 @@ def main(argv=None):
     p_cfg.add_argument("overrides", nargs="*", default=[])
 
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = apply_overrides(Config(), getattr(args, "overrides", []))
 
     if args.cmd == "config":

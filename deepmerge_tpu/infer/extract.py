@@ -299,16 +299,21 @@ class FeatureExtractor:
     def _chunked_inputs(self, ds: DeviceScene, cfg: DataConfig):
         """Per-point metadata chunked + device-resident, cached per staged
         scene (the relay uploads ~1MB per call otherwise — repeated merges
-        of one staged scene shouldn't re-pay it)."""
-        key = (id(ds), self.batch_size, cfg.patch_sizes, cfg.factor_slots)
-        cache = getattr(self, "_chunk_cache", None)
+        of one staged scene shouldn't re-pay it).
+
+        The cache lives ON the DeviceScene (not keyed by ``id(ds)`` in the
+        extractor): an id() key outlives the object, and CPython readily
+        reuses the address for the next staged scene, silently serving it
+        the previous scene's centers/scales/features.
+        """
+        key = (self.batch_size, cfg.patch_sizes, cfg.factor_slots)
+        cache = getattr(ds, "_chunked_inputs_cache", None)
         if cache is None:
-            cache = self._chunk_cache = {}
+            cache = {}
+            object.__setattr__(ds, "_chunked_inputs_cache", cache)
         if key in cache:
             return cache[key]
         out = self._chunked_inputs_uncached(ds, cfg)
-        if len(cache) > 8:  # bound: staged scenes are transient
-            cache.clear()
         cache[key] = out
         return out
 
@@ -316,6 +321,10 @@ class FeatureExtractor:
         from deepmerge_tpu.ops.patches import adaptive_scales
 
         n = ds.points_yx.shape[0]
+        if n == 0:
+            raise ValueError(
+                "scene has no sample points — nothing to extract"
+            )
         # balanced chunks: ceil-divide the points over the minimum number
         # of chunks instead of padding the tail up to batch_size (8193
         # points at batch 2048 would otherwise compute 12288 rows; the

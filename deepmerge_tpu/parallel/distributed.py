@@ -8,12 +8,10 @@ The reference handles big scenes by walking tile folders sequentially
   * ``shard_scene_columns`` — split a Scene into S column strips: each strip
     gets the region SUBGRAPH whose regions touch it, plus halo pixels so
     every sample-point window is locally resident.
-  * ``merge_sharded`` — per-strip local merges (device label-prop) followed
-    by a global resolution pass over CROSS-STRIP boundary edges: the strips'
-    label maps are deterministic min-id partitions, so the host union-find
-    over (strip labels ∪ boundary passing edges) reproduces the exact
-    single-device partition. Boundary payloads are tiny (labels + edge
-    scores), riding all-gather over ICI/DCN in the multi-host case.
+  * ``merge_sharded_approx`` — HOST partition-level simulation (per-strip
+    local merges + a global resolution pass). Exact only for monotone
+    merging — the name carries the caveat; the exact memory-distributed
+    path is ``extract_and_merge_sharded`` / ``distributed_merge``.
 """
 
 from __future__ import annotations
@@ -82,21 +80,24 @@ def shard_scene_columns(scene: Scene, n_shards: int) -> tuple[list[SceneShard], 
     return shards, boundary
 
 
-def merge_sharded(
+def merge_sharded_approx(
     scene: Scene,
     point_embeddings: np.ndarray,
     n_shards: int,
     threshold: float = 1.0,
     max_rounds: int = 16,
 ) -> MergeResult:
-    """HOST simulation: shard-local merges + boundary resolution.
+    """HOST simulation: shard-local merges + boundary resolution. APPROX —
+    exact only for monotone merging.
 
     This is a partition-level simulation only — every shard reads the
     global embedding array, and local-first merging is exact only when
-    merging is monotone under the threshold. The REAL memory-distributed
+    merging is monotone under the threshold (non-monotone chains can
+    diverge from the single-device partition). The REAL memory-distributed
     path is ``extract_and_merge_sharded`` below (disjoint per-shard pixel
     tiles + exact collective merge rounds); this one is kept as a host
-    fallback and as documentation of the two-phase alternative.
+    fallback and as documentation of the two-phase alternative — the
+    ``_approx`` suffix is the API-level caveat.
     """
     from deepmerge_tpu.infer.merge import MergeEngine
 
@@ -410,6 +411,7 @@ def extract_and_merge_sharded(
     max_rounds: int = 16,
     sweeps: int = 16,
     axis: str = "data",
+    batch_stats=None,
 ) -> MergeResult:
     """Memory-distributed extract+merge over a device mesh.
 
@@ -433,6 +435,10 @@ def extract_and_merge_sharded(
     staged = stage_scene_shards(scene, cfg, n_shards)
     R = staged.num_regions
     mcfg = model.cfg
+    # v4/v5 variants carry a batch_stats collection (AuxBlock BatchNorm);
+    # it rides replicated alongside params
+    batch_stats = batch_stats or {}
+    has_bs = bool(batch_stats)
     targets = tuple(cfg.patch_sizes) + (1,) * (
         cfg.factor_slots - len(cfg.patch_sizes)
     )
@@ -440,7 +446,7 @@ def extract_and_merge_sharded(
     scales = np.asarray(scales)
     factors = np.asarray(factors)
 
-    def local(params, tile, centers, feats, scl, fac, pr, edges, evalid):
+    def local(params, bs_, tile, centers, feats, scl, fac, pr, edges, evalid):
         tile, centers, feats = tile[0], centers[0], feats[0]
         scl, fac, pr = scl[0], fac[0], pr[0]
         edges, evalid = edges[0], evalid[0]
@@ -450,8 +456,11 @@ def extract_and_merge_sharded(
             caps=staged.caps, quantize_uint8=cfg.quantize_uint8,
         )
         designed = jnp.concatenate([feats, fac], axis=1)
+        variables = {"params": params}
+        if has_bs:
+            variables["batch_stats"] = bs_
         emb = model.apply(
-            {"params": params}, patches, designed, False
+            variables, patches, designed, False
         ).astype(jnp.float32)
         labels, rounds = _collective_merge_rounds(
             emb, pr, edges, evalid, threshold, R, max_rounds, sweeps, axis
@@ -466,6 +475,7 @@ def extract_and_merge_sharded(
             mesh=mesh,
             in_specs=(
                 jax.tree.map(lambda _: rep, params),
+                jax.tree.map(lambda _: rep, batch_stats),
                 shard, shard, shard, shard, shard, shard, shard, shard,
             ),
             out_specs=(rep, rep),
@@ -474,6 +484,7 @@ def extract_and_merge_sharded(
     )
     labels, rounds = fn(
         params,
+        batch_stats,
         jnp.asarray(staged.tiles),
         jnp.asarray(staged.centers),
         jnp.asarray(staged.features, jnp.float32),

@@ -143,6 +143,65 @@ def test_segment_scene_device_matches_two_step(tiny_model_cfg, tiny_data_cfg):
     assert int(got_rounds) == int(want_rounds)
 
 
+def test_chunk_cache_is_per_scene_not_per_address(tiny_model_cfg,
+                                                  tiny_data_cfg):
+    """Two staged scenes with the SAME point count must each get their own
+    chunked metadata (regression: an id(ds)-keyed extractor cache outlived
+    the DeviceScene and CPython's address reuse served scene B scene A's
+    centers/scales/features — wrong embeddings ~80% of the time)."""
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.train.sampler import stage_scene
+
+    a = generate_scene(h=128, w=128, n_regions=20, n_objects=4, seed=21)
+    b = generate_scene(h=128, w=128, n_regions=20, n_objects=4, seed=22)
+    assert a.regions.num_points == b.regions.num_points
+    model = build_model(tiny_model_cfg)
+    variables = init_params(model, jax.random.key(0))
+    ex = FeatureExtractor(model, variables["params"], batch_size=16)
+
+    # ground truth with explicit staging (cache keyed on these objects)
+    dsa, dsb = stage_scene(a, tiny_data_cfg), stage_scene(b, tiny_data_cfg)
+    want_a = np.asarray(ex.extract_scene_device(a, tiny_data_cfg, dsa))
+    want_b = np.asarray(ex.extract_scene_device(b, tiny_data_cfg, dsb))
+    assert not np.allclose(want_a, want_b)
+    # cache must live on the DeviceScene, not in the extractor
+    assert hasattr(dsa, "_chunked_inputs_cache")
+
+    # internal staging (device_scene=None): ds is transient, addresses can
+    # recycle — results must still be per-scene
+    got_a = np.asarray(ex.extract_scene_device(a, tiny_data_cfg))
+    got_b = np.asarray(ex.extract_scene_device(b, tiny_data_cfg))
+    np.testing.assert_allclose(got_a, want_a, atol=1e-5)
+    np.testing.assert_allclose(got_b, want_b, atol=1e-5)
+
+
+def test_extract_empty_scene_raises(tiny_model_cfg, tiny_data_cfg):
+    """A scene with zero sample points raises a clear error, not
+    ZeroDivisionError from the chunk-size arithmetic."""
+    import dataclasses
+
+    import pytest
+
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.train.sampler import stage_scene
+
+    scene = generate_scene(h=96, w=96, n_regions=9, n_objects=3, seed=5)
+    model = build_model(tiny_model_cfg)
+    variables = init_params(model, jax.random.key(0))
+    ex = FeatureExtractor(model, variables["params"], batch_size=8)
+    ds = stage_scene(scene, tiny_data_cfg)
+    empty = dataclasses.replace(
+        ds,
+        points_yx=ds.points_yx[:0],
+        point_features=ds.point_features[:0],
+        point_inner=ds.point_inner[:0],
+        point_object=ds.point_object[:0],
+        point_region=ds.point_region[:0],
+    )
+    with pytest.raises(ValueError, match="no sample points"):
+        ex._chunked_inputs_uncached(empty, tiny_data_cfg)
+
+
 def test_extraction_chunks_are_balanced(tiny_model_cfg, tiny_data_cfg):
     """Odd point counts must not pad up to batch_size (2097 points at batch
     2048 once computed 4096 rows — a 2x waste measured on the bench)."""

@@ -111,7 +111,7 @@ def test_sharded_mosaic_merge_matches_global(small_scene):
     """Column-sharded mosaic merge (local merges + boundary resolution)
     reproduces the single-device partition."""
     from deepmerge_tpu.infer.merge import merge_scene
-    from deepmerge_tpu.parallel.distributed import merge_sharded
+    from deepmerge_tpu.parallel.distributed import merge_sharded_approx
 
     r = np.random.RandomState(1)
     scene = small_scene
@@ -121,7 +121,7 @@ def test_sharded_mosaic_merge_matches_global(small_scene):
 
     want = merge_scene(scene, emb, threshold=1.0, max_rounds=8)
     for n_shards in (2, 4):
-        got = merge_sharded(scene, emb, n_shards, threshold=1.0, max_rounds=8)
+        got = merge_sharded_approx(scene, emb, n_shards, threshold=1.0, max_rounds=8)
         assert got.num_clusters == want.num_clusters, n_shards
         np.testing.assert_array_equal(
             got.region_to_cluster, want.region_to_cluster
@@ -255,3 +255,40 @@ def test_extract_and_merge_sharded_disjoint_tiles(tiny_model_cfg):
     )
     assert got.num_clusters == want.num_clusters
     np.testing.assert_array_equal(got.region_to_cluster, want.region_to_cluster)
+
+
+def test_extract_and_merge_sharded_v4_batch_stats():
+    """v4/v5 carry a batch_stats collection (AuxBlock BatchNorm) — the
+    sharded path must thread it through (replicated, like params) and
+    match the single-device result."""
+    from deepmerge_tpu.config import DataConfig, ModelConfig
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.infer.merge import merge_scene_device
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.parallel.distributed import extract_and_merge_sharded
+
+    mcfg = ModelConfig(variant="v4", input_image_scales=(16, 32, 64), cube=8,
+                       embed_dim=32, depth=(1, 1, 1), num_heads=4, out_dim=16,
+                       dtype="float32")
+    scene = generate_scene(h=96, w=768, n_regions=24, n_objects=6,
+                           points_per_region=1, seed=13)
+    dcfg = DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+                      eval_batch_size=8)
+    model = build_model(mcfg)
+    variables = init_params(model, jax.random.key(0))
+    bs = variables.get("batch_stats")
+    assert bs, "v4 must carry batch_stats for this test to mean anything"
+
+    extractor = FeatureExtractor(model, variables["params"], batch_stats=bs,
+                                 batch_size=8)
+    emb = extractor.extract_scene(scene, dcfg)
+    want = merge_scene_device(scene, emb, threshold=1.0, max_rounds=8)
+
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    got = extract_and_merge_sharded(
+        model, variables["params"], scene, dcfg, mesh,
+        threshold=1.0, max_rounds=8, batch_stats=bs,
+    )
+    assert got.num_clusters == want.num_clusters
+    np.testing.assert_array_equal(got.region_to_cluster,
+                                  want.region_to_cluster)
