@@ -96,6 +96,44 @@ def main():
     state2, metrics = step(state, batch, jax.random.key(1))
     loss = float(metrics["loss"])
 
+    # 3) distributed merge: the psum/pmin collective rounds cross the REAL
+    # process boundary and must reproduce the single-device device_merge
+    # partition on an adversarial NON-MONOTONE chain (merging A-B moves
+    # centroids enough to enable B-C in a later round).
+    from deepmerge_tpu.ops.labelprop import device_merge
+
+    # Weighted chain: region 0 = 3 points at 2.0, region 1 = one at 0.8,
+    # region 2 = one at 2.9, threshold 1.3. Round 1: |2.0−0.8|=1.2 merges
+    # {0,1} while |0.8−2.9|=2.1 fails; the merged mean (3·2.0+0.8)/4=1.7
+    # pulls TOWARD region 2, so round 2 passes |1.7−2.9|=1.2 — a merge
+    # that only becomes possible after the first (2 rounds, non-monotone).
+    R = 3
+    pemb = np.array(
+        [[2.0, 0.0], [2.0, 0.0], [2.0, 0.0], [0.8, 0.0], [2.9, 0.0]],
+        np.float32,
+    )
+    ppr = np.array([0, 0, 0, 1, 2], np.int32)
+    chain_edges = np.array([[0, 1], [1, 2]], np.int32)
+    thr = 1.3
+
+    want_labels, want_rounds = jax.jit(
+        device_merge, static_argnames=("num_regions", "max_rounds", "sweeps")
+    )(
+        jnp.asarray(pemb), jnp.asarray(ppr, jnp.int32),
+        jnp.asarray(chain_edges, jnp.int32),
+        jnp.ones(len(chain_edges), bool), thr, num_regions=R, max_rounds=16,
+    )
+    want_labels = np.asarray(want_labels)
+
+    from deepmerge_tpu.parallel.distributed import distributed_merge
+
+    got_labels, got_rounds = distributed_merge(
+        pemb, ppr, R, chain_edges, mesh, threshold=thr, max_rounds=16,
+    )
+    # ≥2 rounds == the second merge only became possible AFTER the first
+    # (the non-monotone property under test)
+    merge_nontrivial = int(want_rounds) >= 2
+
     with open(outfile, "w") as f:
         json.dump({
             "pid": pid,
@@ -103,6 +141,12 @@ def main():
             "gather_total": total,
             "gather_ok": abs(total - want_total) < 1e-6,
             "loss": loss,
+            "merge_labels": np.asarray(got_labels).tolist(),
+            "merge_want_labels": want_labels.tolist(),
+            "merge_rounds": int(got_rounds),
+            "merge_want_rounds": int(want_rounds),
+            "merge_exact": bool(np.array_equal(got_labels, want_labels)),
+            "merge_nontrivial": merge_nontrivial,
         }, f)
 
 

@@ -67,5 +67,13 @@ def test_two_process_dcn_allgather_and_train_step(tmp_path):
     for r in reports:
         assert r["process_count"] == n
         assert r["gather_ok"], r
+        # the psum/pmin merge rounds crossed a REAL process boundary and
+        # reproduced the single-device partition on a non-monotone chain
+        assert r["merge_nontrivial"], r
+        assert r["merge_exact"], (
+            r["merge_labels"], r["merge_want_labels"]
+        )
+        assert r["merge_rounds"] == r["merge_want_rounds"]
     # identical replicated step on both processes -> identical loss
     assert reports[0]["loss"] == pytest.approx(reports[1]["loss"], rel=1e-6)
+    assert reports[0]["merge_labels"] == reports[1]["merge_labels"]
