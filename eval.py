@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--test-seeds", type=int, nargs="+", default=[7, 8, 9])
     p.add_argument("--threshold", type=float, default=1.0,
                    help="merge distance threshold (= train margin)")
+    p.add_argument("--calibrate", action="store_true",
+                   help="pick the threshold on a labeled validation scene "
+                   "(seed train_seed+500) instead of hand-setting it")
+    p.add_argument("--val-seed", type=int, default=None,
+                   help="validation scene seed for --calibrate")
     p.add_argument("--checkpoint-dir", default="/tmp/deepmerge_eval_ckpt")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the checkpoint dir")
@@ -98,12 +103,31 @@ def main(argv=None):
         batch_size=min(2000, regions * points),
     )
 
+    threshold = args.threshold
+    calibration = None
+    if args.calibrate:
+        from deepmerge_tpu.infer.calibrate import calibrate_threshold
+
+        val_seed = (args.val_seed if args.val_seed is not None
+                    else args.train_seed + 500)
+        val_scene = generate_scene(seed=val_seed, **scene_kw)
+        val_emb = extractor.extract_scene(val_scene, cfg.data)
+        cal = calibrate_threshold(val_scene, val_emb,
+                                  max_rounds=cfg.merge.max_rounds)
+        threshold = cal.threshold
+        calibration = {
+            "val_seed": val_seed,
+            "threshold": round(cal.threshold, 6),
+            "val_disagreement": round(cal.disagreement, 6),
+        }
+        print(f"[eval] {cal}")
+
     results = []
     for seed in args.test_seeds:
         scene = generate_scene(seed=seed, **scene_kw)
         emb = extractor.extract_scene(scene, cfg.data)
         merged = merge_scene_device(
-            scene, emb, threshold=args.threshold,
+            scene, emb, threshold=threshold,
             max_rounds=cfg.merge.max_rounds,
         )
         pred = merged.region_to_cluster[scene.labels]
@@ -124,6 +148,8 @@ def main(argv=None):
         "epochs": epochs,
         "train_seconds": round(t_train, 1),
         "final_loss": round(float(final_loss), 6),
+        "threshold": round(float(threshold), 6),
+        "calibration": calibration,
         "held_out": results,
     }))
 

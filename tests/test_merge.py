@@ -158,3 +158,23 @@ def test_device_score_and_merge_single_dispatch():
     got = np.asarray(labels)
     _, dense = np.unique(got, return_inverse=True)
     np.testing.assert_array_equal(dense, want.region_to_cluster)
+
+
+def test_calibrate_threshold_recovers_object_partition(small_scene):
+    """With embeddings clustered by ground-truth object, calibration finds a
+    threshold whose merge reproduces the object partition (0 disagreement) —
+    no hand-tuned threshold (the round-2 EVAL gap)."""
+    from deepmerge_tpu.infer.calibrate import calibrate_threshold
+
+    scene = small_scene
+    r = np.random.RandomState(5)
+    obj = scene.object_of_region[scene.regions.point_region]
+    emb = (np.eye(8, dtype=np.float32)[obj % 8] * 3.0
+           + 0.05 * r.randn(scene.regions.num_points, 8).astype(np.float32))
+
+    cal = calibrate_threshold(scene, emb, max_rounds=8)
+    assert cal.disagreement == 0.0
+    assert cal.clusters == len(np.unique(scene.object_of_region))
+    assert len(cal.table) >= 5
+    # the chosen threshold separates the two distance modes
+    assert 0.0 < cal.threshold < 3.0
