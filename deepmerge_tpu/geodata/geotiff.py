@@ -4,11 +4,12 @@ The reference reads rasters exclusively through GDAL (``gdal.Open`` +
 windowed ``ReadAsArray``, ``MyUtils1.py:319-323,188``). GDAL is not in this
 image, so this module implements the raster subset the pipeline needs:
 
-  * classic TIFF, little- or big-endian
+  * classic TIFF (magic 42) AND BigTIFF (magic 43, 8-byte offsets — the
+    common container for real remote-sensing mosaics), little- or big-endian
   * uint8/uint16/int16/uint32/float32, striped or tiled
   * compression: none(1), Deflate(8/32946), PackBits(32773), LZW(5)
   * GeoTIFF geotransform from ModelPixelScale(33550) + ModelTiepoint(33922)
-  * writer: uncompressed striped uint8, with geo tags
+  * writer: uncompressed striped uint8, with geo tags; classic or BigTIFF
 
 The reader exposes GDAL-like windowed access (``read_window``) with the same
 geo→pixel transform the reference applies, including its ``+1`` offset
@@ -42,8 +43,10 @@ _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q"}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
 def _unpackbits(data: bytes, expected: int) -> bytes:
@@ -160,20 +163,40 @@ def read_geotiff(path: str) -> GeoTiff:
         e = ">"
     else:
         raise ValueError(f"{path}: not a TIFF")
-    magic, ifd_off = struct.unpack(e + "HI", data[2:8])
-    if magic != 42:
-        raise ValueError(f"{path}: not a classic TIFF (magic {magic})")
+    magic, = struct.unpack(e + "H", data[2:4])
+    if magic == 42:  # classic TIFF: 4-byte offsets, 12-byte IFD entries
+        big = False
+        ifd_off, = struct.unpack(e + "I", data[4:8])
+    elif magic == 43:  # BigTIFF: 8-byte offsets, 20-byte IFD entries
+        big = True
+        offsize, zero = struct.unpack(e + "HH", data[4:8])
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"{path}: malformed BigTIFF header")
+        ifd_off, = struct.unpack(e + "Q", data[8:16])
+    else:
+        raise ValueError(f"{path}: not a TIFF (magic {magic})")
 
-    n_entries, = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    if big:
+        n_entries, = struct.unpack(e + "Q", data[ifd_off : ifd_off + 8])
+        entry0, entry_sz, inline = ifd_off + 8, 20, 8
+        cnt_fmt, off_fmt = "Q", "Q"
+    else:
+        n_entries, = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+        entry0, entry_sz, inline = ifd_off + 2, 12, 4
+        cnt_fmt, off_fmt = "I", "I"
     tags: dict[int, list] = {}
     for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack(e + "HHI", data[off : off + 8])
+        off = entry0 + entry_sz * i
+        tag, typ = struct.unpack(e + "HH", data[off : off + 4])
+        count, = struct.unpack(
+            e + cnt_fmt, data[off + 4 : off + 4 + struct.calcsize(cnt_fmt)]
+        )
+        vpos = off + entry_sz - inline
         size = _TYPE_SIZES.get(typ, 1) * count
-        if size <= 4:
-            raw = data[off + 8 : off + 8 + size]
+        if size <= inline:
+            raw = data[vpos : vpos + size]
         else:
-            val_off, = struct.unpack(e + "I", data[off + 8 : off + 12])
+            val_off, = struct.unpack(e + off_fmt, data[vpos : vpos + inline])
             raw = data[val_off : val_off + size]
         if typ in _TYPE_FMT:
             tags[tag] = list(struct.unpack(e + _TYPE_FMT[typ] * count, raw))
@@ -242,8 +265,14 @@ def write_geotiff(
     path: str,
     array: np.ndarray,
     geotransform: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+    bigtiff: bool = False,
 ) -> None:
-    """Write an uncompressed striped uint8 GeoTIFF (little-endian)."""
+    """Write an uncompressed striped uint8 GeoTIFF (little-endian).
+
+    ``bigtiff=True`` writes the BigTIFF (magic 43, 8-byte offsets) layout —
+    required once a mosaic crosses 4 GB, and the common real-world container
+    for large remote-sensing scenes.
+    """
     if array.ndim == 2:
         array = array[..., None]
     assert array.dtype == np.uint8, "writer supports uint8"
@@ -254,11 +283,15 @@ def write_geotiff(
     scale = struct.pack("<3d", gt[1], -gt[5], 0.0)
     tiepoint = struct.pack("<6d", 0, 0, 0, gt[0], gt[3], 0)
 
-    entries = []  # (tag, type, count, value_bytes_or_int)
-    header_size = 8
-    # layout: header | IFD | out-of-line values | pixel data
     ifd_entries = 11
-    ifd_size = 2 + ifd_entries * 12 + 4
+    if bigtiff:
+        header_size = 16
+        ifd_size = 8 + ifd_entries * 20 + 8
+    else:
+        header_size = 8
+        ifd_size = 2 + ifd_entries * 12 + 4
+    inline = 8 if bigtiff else 4
+    # layout: header | IFD | out-of-line values | pixel data
     extra: list[bytes] = []
     extra_off = header_size + ifd_size
 
@@ -269,35 +302,53 @@ def write_geotiff(
         extra_off += len(b)
         return off
 
-    bps_off = add_extra(struct.pack(f"<{c}H", *([8] * c))) if c > 2 else None
+    bps_vals = struct.pack(f"<{c}H", *([8] * c))
+    bps_off = add_extra(bps_vals) if len(bps_vals) > inline else None
     scale_off = add_extra(scale)
     tie_off = add_extra(tiepoint)
     data_off = extra_off
 
-    def entry(tag, typ, count, value) -> bytes:
-        if typ == 3 and count == 1:
-            return struct.pack("<HHIHH", tag, typ, count, value, 0)
-        return struct.pack("<HHII", tag, typ, count, value)
+    def entry(tag, typ, count, value, raw: bytes | None = None) -> bytes:
+        """One IFD entry; ``raw`` = inline value bytes (padded), else
+        ``value`` packs as offset/integer."""
+        if bigtiff:
+            head = struct.pack("<HHQ", tag, typ, count)
+            if raw is not None:
+                return head + raw.ljust(8, b"\0")
+            return head + struct.pack("<Q", value)
+        head = struct.pack("<HHI", tag, typ, count)
+        if raw is not None:
+            return head + raw.ljust(4, b"\0")
+        return head + struct.pack("<I", value)
 
+    bps_entry = (
+        entry(_BITS_PER_SAMPLE, 3, c, bps_off)
+        if bps_off is not None
+        else entry(_BITS_PER_SAMPLE, 3, c, 0, raw=bps_vals)
+    )
     e = [
-        entry(_IMAGE_WIDTH, 4, 1, w),
-        entry(_IMAGE_LENGTH, 4, 1, h),
-        entry(_BITS_PER_SAMPLE, 3, c, bps_off if c > 2 else (8 | (8 << 16) if c == 2 else 8)),
-        entry(_COMPRESSION, 3, 1, 1),
-        entry(_PHOTOMETRIC, 3, 1, 2 if c >= 3 else 1),
-        entry(_STRIP_OFFSETS, 4, 1, data_off),
-        entry(_SAMPLES_PER_PIXEL, 3, 1, c),
-        entry(_ROWS_PER_STRIP, 4, 1, h),
-        entry(_STRIP_BYTE_COUNTS, 4, 1, len(pixel_data)),
+        entry(_IMAGE_WIDTH, 4, 1, w, raw=struct.pack("<I", w)),
+        entry(_IMAGE_LENGTH, 4, 1, h, raw=struct.pack("<I", h)),
+        bps_entry,
+        entry(_COMPRESSION, 3, 1, 0, raw=struct.pack("<H", 1)),
+        entry(_PHOTOMETRIC, 3, 1, 0, raw=struct.pack("<H", 2 if c >= 3 else 1)),
+        entry(_STRIP_OFFSETS, 16 if bigtiff else 4, 1, data_off),
+        entry(_SAMPLES_PER_PIXEL, 3, 1, 0, raw=struct.pack("<H", c)),
+        entry(_ROWS_PER_STRIP, 4, 1, h, raw=struct.pack("<I", h)),
+        entry(_STRIP_BYTE_COUNTS, 16 if bigtiff else 4, 1, len(pixel_data)),
         entry(_MODEL_PIXEL_SCALE, 12, 3, scale_off),
         entry(_MODEL_TIEPOINT, 12, 6, tie_off),
     ]
     assert len(e) == ifd_entries
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, 8))
-        f.write(struct.pack("<H", ifd_entries))
+        if bigtiff:
+            f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 16))
+            f.write(struct.pack("<Q", ifd_entries))
+        else:
+            f.write(b"II" + struct.pack("<HI", 42, 8))
+            f.write(struct.pack("<H", ifd_entries))
         f.write(b"".join(e))
-        f.write(struct.pack("<I", 0))
+        f.write(struct.pack("<Q" if bigtiff else "<I", 0))
         for b in extra:
             f.write(b)
         f.write(pixel_data)
