@@ -292,9 +292,15 @@ def _collective_merge_rounds(
     associative, so this IS the global scatter-min), after which labels are
     replicated and pointer jumping is shard-local deterministic. Every round
     therefore produces bit-identical labels to the single-device
-    ``ops/labelprop.device_merge`` — monotone or not. (Only the f32
-    summation ORDER differs from single-device; tests keep thresholds away
-    from knife-edge distances.)
+    ``ops/labelprop.device_merge`` — monotone or not.
+
+    Knife-edge caveat, now MEASURED instead of assumed: the f32 summation
+    ORDER of the psum differs from single-device, so a squared distance
+    within float rounding of ``threshold²`` could flip a comparison between
+    the two. The returned ``margin`` is the minimum |d² − threshold²| over
+    every real edge of every round — callers warn when it is small (see
+    ``distributed_merge``), turning the previously unguarded bit-identical
+    claim into a runtime-checked one.
     """
     import jax
     import jax.numpy as jnp
@@ -308,7 +314,7 @@ def _collective_merge_rounds(
     pr_real = pr < R  # padding points carry the R sentinel
 
     def round_body(state):
-        labels, rounds, _ = state
+        labels, rounds, _, margin = state
         # padding points route to segment R, which pooling drops (an
         # unguarded labels[pr] would CLAMP to R-1 and pollute that cluster)
         pt_cluster = jnp.where(
@@ -321,9 +327,12 @@ def _collective_merge_rounds(
         cemb = sums / jnp.maximum(cnts, 1.0)[:, None]
         la, lb = labels[ea], labels[eb]
         d2 = jnp.sum((cemb[la] - cemb[lb]) ** 2, axis=-1)
-        passing = (
-            evalid & (la != lb)
-            & (d2 < jnp.asarray(threshold, jnp.float32) ** 2)
+        thr2 = jnp.asarray(threshold, jnp.float32) ** 2
+        passing = evalid & (la != lb) & (d2 < thr2)
+        live = evalid & (la != lb)
+        margin = jnp.minimum(
+            margin,
+            jnp.min(jnp.where(live, jnp.abs(d2 - thr2), jnp.inf)),
         )
 
         def sweep(_, labels):
@@ -335,16 +344,17 @@ def _collective_merge_rounds(
 
         relabeled = jax.lax.fori_loop(0, sweeps, sweep, labels)
         changed = jax.lax.psum(jnp.any(passing).astype(jnp.int32), axis) > 0
-        return relabeled, rounds + changed.astype(jnp.int32), changed
+        return relabeled, rounds + changed.astype(jnp.int32), changed, margin
 
     def cond(state):
-        _, rounds, changed = state
+        _, rounds, changed, _ = state
         return changed & (rounds < max_rounds)
 
-    labels, rounds, _ = jax.lax.while_loop(
-        cond, round_body, (labels0, jnp.int32(0), jnp.bool_(True))
+    labels, rounds, _, margin = jax.lax.while_loop(
+        cond, round_body,
+        (labels0, jnp.int32(0), jnp.bool_(True), jnp.float32(jnp.inf)),
     )
-    return labels, rounds
+    return labels, rounds, jax.lax.pmin(margin, axis)
 
 
 def distributed_merge(
@@ -391,13 +401,14 @@ def distributed_merge(
         jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         )
     )
-    labels, rounds = fn(
+    labels, rounds, margin = fn(
         jnp.asarray(emb), jnp.asarray(pr), jnp.asarray(e), jnp.asarray(ev)
     )
+    _warn_knife_edge(float(margin), threshold)
     return np.asarray(labels), int(rounds)
 
 
@@ -462,10 +473,10 @@ def extract_and_merge_sharded(
         emb = model.apply(
             variables, patches, designed, False
         ).astype(jnp.float32)
-        labels, rounds = _collective_merge_rounds(
+        labels, rounds, margin = _collective_merge_rounds(
             emb, pr, edges, evalid, threshold, R, max_rounds, sweeps, axis
         )
-        return labels, rounds
+        return labels, rounds, margin
 
     rep = P()
     shard = P(axis)
@@ -478,11 +489,11 @@ def extract_and_merge_sharded(
                 jax.tree.map(lambda _: rep, batch_stats),
                 shard, shard, shard, shard, shard, shard, shard, shard,
             ),
-            out_specs=(rep, rep),
+            out_specs=(rep, rep, rep),
             check_vma=False,
         )
     )
-    labels, rounds = fn(
+    labels, rounds, margin = fn(
         params,
         batch_stats,
         jnp.asarray(staged.tiles),
@@ -494,6 +505,7 @@ def extract_and_merge_sharded(
         jnp.asarray(staged.edges),
         jnp.asarray(staged.edge_valid),
     )
+    _warn_knife_edge(float(margin), threshold)
     labels = np.asarray(labels)
     uniq, dense = np.unique(labels, return_inverse=True)
     return MergeResult(
@@ -502,3 +514,25 @@ def extract_and_merge_sharded(
         rounds=int(rounds),
         edges_scored=int(rounds) * int(staged.edge_valid.sum()),
     )
+
+
+def _warn_knife_edge(margin: float, threshold: float,
+                     rel_eps: float = 1e-5) -> None:
+    """Warn when a merge decision sat within float rounding of threshold².
+
+    The collective merge's psum order differs from single-device summation,
+    so only edges with |d² − thr²| comfortably above f32 rounding are
+    guaranteed bit-identical across the two paths. ``margin`` is the
+    measured minimum over all rounds (``_collective_merge_rounds``).
+    """
+    import warnings
+
+    thr2 = float(threshold) ** 2
+    if np.isfinite(margin) and margin < rel_eps * max(thr2, 1e-30):
+        warnings.warn(
+            f"distributed merge: an edge decision sat {margin:.3e} from "
+            f"threshold²={thr2:.6g} — within f32 reordering noise, so the "
+            "partition may differ from the single-device path at this "
+            "knife edge",
+            stacklevel=3,
+        )

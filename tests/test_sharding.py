@@ -292,3 +292,28 @@ def test_extract_and_merge_sharded_v4_batch_stats():
     assert got.num_clusters == want.num_clusters
     np.testing.assert_array_equal(got.region_to_cluster,
                                   want.region_to_cluster)
+
+
+def test_distributed_merge_warns_on_knife_edge():
+    """A merge decision within f32 rounding of threshold**2 triggers the
+    knife-edge warning (the bit-identical claim is runtime-checked now)."""
+    import warnings
+
+    from deepmerge_tpu.parallel.distributed import distributed_merge
+
+    emb = np.array([[0.0, 0.0], [1.0, 0.0]], np.float32)  # d^2 == thr^2
+    pr = np.array([0, 1], np.int32)
+    edges = np.array([[0, 1]], np.int32)
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        distributed_merge(emb, pr, 2, edges, mesh, threshold=1.0,
+                          max_rounds=4)
+    assert any("knife edge" in str(x.message) for x in w)
+
+    # and a comfortably-margined case stays silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        distributed_merge(emb, pr, 2, edges, mesh, threshold=2.0,
+                          max_rounds=4)
+    assert not any("knife edge" in str(x.message) for x in w)
