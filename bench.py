@@ -40,9 +40,13 @@ def main():
     POINTS_PER_REGION = 1
     BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 
-    # flagship v3-642 by default; BENCH_MODEL=v5 etc. sweeps variants
+    # flagship v3-642 by default; BENCH_MODEL=v5 etc. sweeps variants;
+    # BENCH_CHAIN=0 disables the stage-chained kernels (A/B), =2 also
+    # chains stage 0
+    chain = os.environ.get("BENCH_CHAIN", "1")
     mcfg = ModelConfig(
-        dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3")
+        dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3"),
+        fused_stage_chain=chain != "0", chain_stage0=chain == "2",
     )
     dcfg = DataConfig(max_window=512, eval_batch_size=BATCH)
     model = build_model(mcfg)

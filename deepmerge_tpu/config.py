@@ -45,6 +45,11 @@ class ModelConfig:
     fused_block: bool = True                  # whole-block Pallas megakernel
                                               # (active when fused_attention
                                               # is on and all dropouts are 0)
+    fused_stage_chain: bool = True            # whole STAGE as one Pallas kernel
+                                              # (stage-1/2: all blocks' weights
+                                              # VMEM-resident; needs fused_block)
+    chain_stage0: bool = False                # also chain stage-0 (6x N=192
+                                              # blocks ≈ 97MB VMEM — experiment)
     exact_gelu: bool = False                  # erf GELU (torch parity) vs tanh approx
                                               # (~15ms/block cheaper on VPU; value
                                               # diff <=3e-3, well inside the 0.5%

@@ -293,16 +293,30 @@ class CrossScaleBlock(nn.Module):
     exact_gelu: bool = False
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if (
+    @property
+    def fused_block_eligible(self) -> bool:
+        """True when this block runs as the Pallas megakernel (and so can
+        also be chained with its stage neighbours — see S2Former._stage)."""
+        return (
             self.fused_block and self.fused
             and self.drop == 0.0 and self.attn_drop == 0.0
             and self.drop_path == 0.0
             # Mosaic has no erf/erfc lowering — exact-GELU (torch-parity)
             # configs take the XLA path
             and not self.exact_gelu
-        ):
+        )
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 return_fused_params: bool = False):
+        if return_fused_params:
+            # stage-chaining mode: create/bind this block's params (same
+            # tree as every other path) and hand the 13-tuple to the caller
+            # instead of computing — S2Former._stage feeds all of a stage's
+            # tuples to ONE fused_block_chain kernel.
+            assert self.fused_block_eligible
+            return self._collect_fused_params(x)
+        if self.fused_block_eligible:
             return self._fused_block(x)
         dp = DropPath(self.drop_path)
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
@@ -321,10 +335,8 @@ class CrossScaleBlock(nn.Module):
         )(y, deterministic)
         return x + dp(y, deterministic)
 
-    def _fused_block(self, x):
-        from deepmerge_tpu.ops.pallas.fused_block import fused_block
-        from deepmerge_tpu.ops.pallas.window_gather import default_interpret
-
+    def _collect_fused_params(self, x):
+        """Bind this block's params and return the megakernel 13-tuple."""
         if self.extra_token:
             idx, table_size = rel_pos_index_extra_token(self.cube)
         else:
@@ -348,10 +360,16 @@ class CrossScaleBlock(nn.Module):
 
         w = lambda a: a.astype(self.dtype)
         f32 = lambda a: a.astype(jnp.float32)
-        params = (
+        return (
             f32(l1s), f32(l1b), w(wq), w(bq), f32(bias), w(wp), w(bp),
             f32(l2s), f32(l2b), w(wu), w(bu), w(wd), w(bd),
         )
+
+    def _fused_block(self, x):
+        from deepmerge_tpu.ops.pallas.fused_block import fused_block
+        from deepmerge_tpu.ops.pallas.window_gather import default_interpret
+
+        params = self._collect_fused_params(x)
         # VMEM tile size: bt=2 everywhere. Isolated-kernel sweeps prefer
         # bigger tiles for the short stage-1/2 sequences (9.3 vs 11.5ms at
         # n=48), but inside the full extraction program per-stage tile
@@ -586,6 +604,30 @@ class S2Former(nn.Module):
         pooled = core.reshape(b, n, tokens_per_scale, d).mean(axis=2)
         return pooled.reshape(b, n * d)
 
+    def _stage(self, blocks, x, det, chain: bool):
+        """Run a stage's blocks — as ONE chained Pallas kernel when eligible
+        (all weights VMEM-resident, no inter-block HBM round-trips; sized
+        for the short stage-1/2 sequences) else block-by-block."""
+        if (
+            chain and len(blocks) > 1 and blocks[0].fused_block_eligible
+        ):
+            from deepmerge_tpu.ops.pallas.fused_block import fused_block_chain
+            from deepmerge_tpu.ops.pallas.window_gather import (
+                default_interpret,
+            )
+
+            params_list = tuple(
+                blk(x, det, return_fused_params=True) for blk in blocks
+            )
+            return fused_block_chain(
+                x.astype(self.dtype_), params_list,
+                heads=self.cfg.num_heads, exact_gelu=self.cfg.exact_gelu,
+                block_b=2, interpret=default_interpret(),
+            )
+        for blk in blocks:
+            x = blk(x, det)
+        return x
+
     # -- forward ------------------------------------------------------------
 
     def __call__(self, patches, designed=None, train: bool = False):
@@ -617,8 +659,8 @@ class S2Former(nn.Module):
             x = jnp.concatenate([x, d[:, None, :]], axis=1)
 
         aux0 = aux1 = None
-        for blk in self.blocks0:
-            x = blk(x, det)
+        chain = cfg.fused_stage_chain
+        x = self._stage(self.blocks0, x, det, chain and cfg.chain_stage0)
         if cfg.variant in ("v4", "v5"):
             aux = self.aux0(x, det)
             aux0 = aux
@@ -627,8 +669,7 @@ class S2Former(nn.Module):
         x = jnp.concatenate([x, extra], axis=1)
         x = self.norm(x)
 
-        for blk in self.blocks1:
-            x = blk(x, det)
+        x = self._stage(self.blocks1, x, det, chain)
         if cfg.variant in ("v4", "v5"):
             aux1 = self.aux1(x, det)
         g1 = g // 2
@@ -637,8 +678,7 @@ class S2Former(nn.Module):
         x = jnp.concatenate([x, extra], axis=1)
         x = self.norm(x)
 
-        for blk in self.blocks2:
-            x = blk(x, det)
+        x = self._stage(self.blocks2, x, det, chain)
         x = self.norm(x)
         g2 = g // 4
 

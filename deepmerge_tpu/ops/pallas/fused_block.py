@@ -37,18 +37,18 @@ def _ln(x, scale, bias, eps=1e-5):
     return (m - mu) * lax.rsqrt(v + eps) * scale + bias
 
 
-def _block_kernel(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
-                  wu, bu, wd, bd, out_ref, *, heads: int, exact_gelu: bool):
-    bt, n, c = x_ref.shape
+def _block_math(xi, l1s, l1b, wq, bq, b32, wp, bp, l2s, l2b,
+                wu, bu, wd, bd, *, heads: int, exact_gelu: bool):
+    """One pre-LN block on a VMEM-resident (bt, n, c) tile. All params are
+    loaded values; ``b32`` is the (H, N, N) float32 attention bias."""
+    bt, n, c = xi.shape
     d = c // heads
     scale = d ** -0.5
-    xi = x_ref[...]
-    y = _ln(xi, l1s[...], l1b[...]).astype(xi.dtype).reshape(bt * n, c)
+    y = _ln(xi, l1s, l1b).astype(xi.dtype).reshape(bt * n, c)
     qkv = (
-        jnp.dot(y, wq[...], preferred_element_type=jnp.float32)
-        .astype(xi.dtype) + bq[...]
+        jnp.dot(y, wq, preferred_element_type=jnp.float32)
+        .astype(xi.dtype) + bq
     ).reshape(bt, n, 3 * c)
-    b32 = bias_ref[...].astype(jnp.float32)
     outs = []
     for h in range(heads):  # static unroll; lane slices are VMEM-local
         q = qkv[:, :, h * d : (h + 1) * d] * scale
@@ -68,22 +68,53 @@ def _block_kernel(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
         outs.append(av * recip)
     a = jnp.concatenate(outs, axis=2).astype(xi.dtype)
     p = (
-        jnp.dot(a.reshape(bt * n, c), wp[...],
+        jnp.dot(a.reshape(bt * n, c), wp,
                 preferred_element_type=jnp.float32).astype(xi.dtype)
-        + bp[...]
+        + bp
     ).reshape(bt, n, c)
     r = xi + p
-    y2 = _ln(r, l2s[...], l2b[...]).astype(xi.dtype).reshape(bt * n, c)
-    h1 = jnp.dot(y2, wu[...], preferred_element_type=jnp.float32)
+    y2 = _ln(r, l2s, l2b).astype(xi.dtype).reshape(bt * n, c)
+    h1 = jnp.dot(y2, wu, preferred_element_type=jnp.float32)
     h1 = jax.nn.gelu(
-        h1 + bu[...].astype(jnp.float32), approximate=not exact_gelu
+        h1 + bu.astype(jnp.float32), approximate=not exact_gelu
     )
     o = (
-        jnp.dot(h1.astype(xi.dtype), wd[...],
+        jnp.dot(h1.astype(xi.dtype), wd,
                 preferred_element_type=jnp.float32).astype(xi.dtype)
-        + bd[...]
+        + bd
     ).reshape(bt, n, c)
-    out_ref[...] = r + o
+    return r + o
+
+
+def _block_kernel(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
+                  wu, bu, wd, bd, out_ref, *, heads: int, exact_gelu: bool):
+    out_ref[...] = _block_math(
+        x_ref[...], l1s[...], l1b[...], wq[...], bq[...],
+        bias_ref[...].astype(jnp.float32), wp[...], bp[...], l2s[...],
+        l2b[...], wu[...], bu[...], wd[...], bd[...],
+        heads=heads, exact_gelu=exact_gelu,
+    )
+
+
+def _chain_kernel(x_ref, *refs, heads: int, exact_gelu: bool, depth: int):
+    """``depth`` blocks back-to-back on one VMEM-resident tile: the
+    intermediate sequence never touches HBM between blocks (the short
+    stage-1/2 sequences pay mostly memory traffic per block under the
+    one-kernel-per-block scheme)."""
+    out_ref = refs[-1]
+    params = refs[:-1]
+    xi = x_ref[...]
+    for b in range(depth):  # static unroll
+        (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = (
+            params[13 * b : 13 * (b + 1)]
+        )
+        xi = _block_math(
+            xi, l1s[...], l1b[...], wq[...], bq[...],
+            bias[...].astype(jnp.float32), wp[...], bp[...], l2s[...],
+            l2b[...], wu[...], bu[...], wd[...], bd[...],
+            heads=heads, exact_gelu=exact_gelu,
+        ).astype(x_ref.dtype)
+    out_ref[...] = xi
 
 
 def _xla_block(x, params, heads: int, exact_gelu: bool):
@@ -155,6 +186,112 @@ def _fused_block_bwd(heads, exact_gelu, block_b, interpret, res, g):
 
 
 _fused_block_vjp.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def _xla_chain(x, params_list, heads: int, exact_gelu: bool):
+    for p in params_list:
+        x = _xla_block(x, p, heads, exact_gelu)
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "exact_gelu", "block_b", "interpret")
+)
+def fused_block_chain(x, params_list, heads: int, exact_gelu: bool = False,
+                      block_b: int = 2, interpret: bool = False):
+    """A WHOLE stage — ``depth`` pre-LN blocks — in one Pallas kernel.
+
+    Every block's weights are VMEM-resident for the kernel's lifetime and
+    the (B, N, C) sequence never round-trips through HBM between blocks.
+    Sized for the short stages of the S2Former pyramid
+    (``nets/ShfitScaleFormer.py:904-916``: four N=48 blocks, two N=12
+    blocks): stage-1's four blocks hold ~57 MB of bf16 weights — fits VMEM
+    with room for the working set.
+
+    Args:
+      x: (B, N, C).
+      params_list: tuple of per-block 13-tuples (same layout as
+        ``fused_block``).
+      heads / exact_gelu / block_b / interpret: as in ``fused_block``.
+
+    Returns (B, N, C) in x's dtype. Differentiable (XLA recompute VJP over
+    the whole chain).
+    """
+    params_list = tuple(tuple(p) for p in params_list)
+    if len(params_list) == 1:
+        return _fused_block_vjp(x, params_list[0], heads, exact_gelu,
+                                block_b, interpret)
+    return _fused_chain_vjp(x, params_list, heads, exact_gelu, block_b,
+                            interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_chain_vjp(x, params_list, heads, exact_gelu, block_b, interpret):
+    return _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
+                                interpret)
+
+
+def _fused_chain_fwd(x, params_list, heads, exact_gelu, block_b, interpret):
+    out = _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
+                               interpret)
+    return out, (x, params_list)
+
+
+def _fused_chain_bwd(heads, exact_gelu, block_b, interpret, res, g):
+    x, params_list = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _xla_chain(x_, p_, heads, exact_gelu), x, params_list
+    )
+    return vjp(g)
+
+
+_fused_chain_vjp.defvjp(_fused_chain_fwd, _fused_chain_bwd)
+
+
+def _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
+                         interpret):
+    b, n, c = x.shape
+    depth = len(params_list)
+    block_b = min(block_b, max(b, 1))
+    pad = (-b) % block_b
+    if pad:
+        x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
+    whole = lambda i: (0, 0)
+    VM = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    flat = [x]
+    for p in params_list:
+        (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = p
+        hid = wu.shape[1]
+        in_specs += [
+            VM, VM,
+            pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM), VM,
+            VM,  # attention bias (whole)
+            pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM), VM,
+            VM, VM,
+            pl.BlockSpec((c, hid), whole, memory_space=pltpu.VMEM), VM,
+            pl.BlockSpec((hid, c), whole, memory_space=pltpu.VMEM), VM,
+        ]
+        flat += [l1s, l1b, wq, bq, bias.astype(jnp.float32), wp, bp,
+                 l2s, l2b, wu, bu, wd, bd]
+    out = pl.pallas_call(
+        functools.partial(_chain_kernel, heads=heads, exact_gelu=exact_gelu,
+                          depth=depth),
+        grid=((b + pad) // block_b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b + pad, n, c), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(*flat)
+    return out[:b] if pad else out
 
 
 def _fused_block_forward(x, params, heads, exact_gelu, block_b, interpret):

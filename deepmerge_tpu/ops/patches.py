@@ -177,12 +177,49 @@ def extract_multiscale_patches(
         windows = gather_windows(
             scene2d, starts, win_rows, win_px * c, interpret=interpret
         )
-        windows = windows.reshape(-1, win_rows, win_px, c).astype(jnp.float32)
 
         s = jnp.clip(slot_scales, 1, cap)
         # window index of original coord y is y - (y0a - pad)
         off_y = _left_top(centers[:, 0], s) - y0a + pad
         off_x = _left_top(centers[:, 1], s) - px0a + pad
+
+        if quantize_uint8:
+            # EXACT single-pass bf16 path. INTER_AREA weights scaled by the
+            # window side s are small integers (≤ max(out, s) ≤ 256): both
+            # down (overlap·out) and up ((1−f)·s, f·s) coefficients — and
+            # uint8 pixels are integers ≤ 255 — so every bf16 operand is
+            # exact, every MXU product ≤ 2^16 is exact, and f32 accumulation
+            # of sums ≤ s·255 < 2^24 is exact. Pass 1 is exact integer math
+            # in ONE bf16 pass instead of 3-pass Precision.HIGH; pass 2
+            # splits its (fractional) input into round+frac so the dominant
+            # rounded part stays exact (residual error ~1e-3 ≪ 0.5 LSB).
+            kr = jax.vmap(
+                lambda sc, off: resize_weights(out, win_rows, sc, off)
+                * sc.astype(jnp.float32)
+            )(s, off_y).astype(jnp.bfloat16)
+            kc = jax.vmap(
+                lambda sc, off: resize_weights(out, win_px, sc, off)
+                * sc.astype(jnp.float32)
+            )(s, off_x).astype(jnp.bfloat16)
+            win_b = windows.reshape(-1, win_rows, win_px, c).astype(
+                jnp.bfloat16
+            )
+            inv = (1.0 / s.astype(jnp.float32))[:, None, None, None]
+            x1 = jnp.einsum(
+                "boi,bijc->bojc", kr, win_b,
+                preferred_element_type=jnp.float32,
+            ) * inv
+            a = jnp.round(x1)
+            x2 = jnp.einsum(
+                "bpj,bojc->bopc", kc, a.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bpj,bojc->bopc", kc, (x1 - a).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.floor(x2 * inv + 0.5) / 255.0
+
+        windows = windows.reshape(-1, win_rows, win_px, c).astype(jnp.float32)
         wr = jax.vmap(lambda sc, off: resize_weights(out, win_rows, sc, off))(
             s, off_y
         )
@@ -198,8 +235,6 @@ def extract_multiscale_patches(
             "bpj,bojc->bopc", wc, x,
             precision=hi_prec, preferred_element_type=jnp.float32,
         )
-        if quantize_uint8:
-            x = jnp.floor(x + 0.5)
         return x / 255.0
 
     def chunk_fn(args):

@@ -13,7 +13,12 @@ from deepmerge_tpu.models.s2former import (
     build_model,
     init_params,
 )
-from deepmerge_tpu.ops.pallas.fused_block import _xla_block, fused_block
+from deepmerge_tpu.ops.pallas.fused_block import (
+    _xla_block,
+    _xla_chain,
+    fused_block,
+    fused_block_chain,
+)
 
 
 def _params(key, n, c, heads, hid):
@@ -63,6 +68,48 @@ def test_fused_block_gradients_match_xla():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("n,depth", [(48, 4), (12, 2), (49, 3)])
+def test_fused_block_chain_matches_xla_chain(n, depth):
+    """Stage-chained kernel == sequential XLA blocks (odd n = v5 extra
+    token)."""
+    c, heads, hid = 64, 4, 256
+    params_list = tuple(
+        _params(jax.random.key(10 + i), n, c, heads, hid)
+        for i in range(depth)
+    )
+    x = jax.random.normal(jax.random.key(1), (5, n, c), jnp.float32)
+    want = np.asarray(_xla_chain(x, params_list, heads, False))
+    got = np.asarray(
+        fused_block_chain(x, params_list, heads=heads, block_b=2,
+                          interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
+def test_fused_block_chain_gradients_match_xla():
+    n, c, heads, hid, depth = 12, 32, 2, 64, 2
+    params_list = tuple(
+        _params(jax.random.key(20 + i), n, c, heads, hid)
+        for i in range(depth)
+    )
+    x = jax.random.normal(jax.random.key(3), (3, n, c), jnp.float32)
+
+    def loss_f(x, ps):
+        return jnp.sum(
+            fused_block_chain(x, ps, heads=heads, block_b=3,
+                              interpret=True) ** 2
+        )
+
+    def loss_x(x, ps):
+        return jnp.sum(_xla_chain(x, ps, heads, False) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, params_list)
+    gx = jax.grad(loss_x, argnums=(0, 1))(x, params_list)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def _tiny_cfg(**kw):
     base = dict(
         variant="v3", input_image_scales=(16, 32, 64), cube=8, embed_dim=64,
@@ -101,6 +148,32 @@ def test_model_fused_block_consistent(variant):
     designed = jnp.asarray(r.rand(2, 19), jnp.float32)
     want = np.asarray(m_x.apply(variables, patches, designed, False))
     got = np.asarray(m_f.apply(variables, patches, designed, False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("variant", ["v3", "v5"])
+def test_model_stage_chain_consistent(variant):
+    """Full model with multi-block stages: the stage-chained kernel path ==
+    the XLA path on the same params (chain_stage0 covers stage-0 too)."""
+    kw = dict(variant=variant, depth=(2, 2, 2))
+    cfg_x = _tiny_cfg(fused_block=False, fused_attention=False,
+                      fused_stage_chain=False, **kw)
+    cfg_c = _tiny_cfg(fused_block=True, fused_stage_chain=True,
+                      chain_stage0=True, **kw)
+    m_x, m_c = build_model(cfg_x), build_model(cfg_c)
+    variables = init_params(m_x, jax.random.key(0))
+    # identical param trees (checkpoint compatibility)
+    v_c = init_params(m_c, jax.random.key(0))
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v_c)
+    r = np.random.RandomState(0)
+    patches = tuple(
+        jnp.asarray(r.rand(2, s, s, 3), jnp.float32)
+        for s in cfg_x.input_image_scales
+    )
+    designed = jnp.asarray(r.rand(2, 19), jnp.float32)
+    want = np.asarray(m_x.apply(variables, patches, designed, False))
+    got = np.asarray(m_c.apply(variables, patches, designed, False))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 

@@ -194,6 +194,58 @@ def probe_pipeline(B=2048):
     print(f"  pipeline + forward   : {ms_full:7.1f} ms")
 
 
+def probe_train(pairs=120):
+    """fwd vs fwd+bwd of the flagship Siamese step (B = 2*pairs stacked).
+
+    Variants: XLA block path (the shipped training path), megakernel with
+    recompute VJP, and attention-backward precision experiments.
+    """
+    import dataclasses
+
+    from deepmerge_tpu.train.losses import contrastive_pair_loss
+
+    B = 2 * pairs
+    model, params, mcfg = _flagship(True)
+    xla_model, _, _ = _flagship(True)
+    import deepmerge_tpu.models.s2former as s2
+
+    xla_model = s2.build_model(dataclasses.replace(mcfg, fused_block=False))
+    mk_model = s2.build_model(dataclasses.replace(mcfg, fused_block=True))
+
+    r = jax.random.key(3)
+    patches = tuple(
+        jax.random.uniform(r, (B, s, s, 3), jnp.float32)
+        for s in mcfg.input_image_scales
+    )
+    designed = jax.random.uniform(r, (B, 19), jnp.float32)
+    flag = (jnp.arange(pairs) % 2).astype(jnp.float32)
+
+    def loss_fn(model):
+        def f(params, p0, p1, p2, designed):
+            emb = model.apply({"params": params}, (p0, p1, p2), designed,
+                              True, rngs={"dropout": jax.random.key(0)})
+            el, er = jnp.split(emb, 2, axis=0)
+            return contrastive_pair_loss(el, er, flag, 1.0)
+        return f
+
+    for name, m in (("xla-block ", xla_model), ("megakernel", mk_model)):
+        f = loss_fn(m)
+
+        def fwd(i, params, p0, p1, p2, designed):
+            return f(params, p0 + i.astype(p0.dtype), p1, p2, designed)
+
+        def fwdbwd(i, params, p0, p1, p2, designed):
+            l, g = jax.value_and_grad(f)(params, p0 + i.astype(p0.dtype),
+                                         p1, p2, designed)
+            leaves = jax.tree.leaves(g)
+            return l + sum(jnp.abs(x).sum() for x in leaves[:2])
+
+        ms_f = rep_probe(fwd, params, *patches, designed, k=8)
+        ms_fb = rep_probe(fwdbwd, params, *patches, designed, k=4)
+        print(f"  {name} fwd {ms_f:7.2f} ms   fwd+bwd {ms_fb:7.2f} ms "
+              f"(bwd ~{ms_fb - ms_f:6.2f})")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
@@ -209,3 +261,6 @@ if __name__ == "__main__":
     if which in ("all", "pipe"):
         print("[patch pipeline]")
         probe_pipeline()
+    if which in ("all", "train"):
+        print("[train step]")
+        probe_train()
