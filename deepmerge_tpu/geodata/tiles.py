@@ -50,6 +50,7 @@ def cut_class_patches(
     (patches,) = extract_multiscale_patches(
         padded, jnp.asarray(centers_yx, jnp.int32), jnp.asarray(scales),
         patch_sizes=(out_size,), caps=caps,
+        out_channels=image.shape[-1],
     )
     return np.asarray(patches, np.float32)
 

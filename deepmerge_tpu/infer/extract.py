@@ -139,6 +139,7 @@ class FeatureExtractor:
                 padded, centers, scales,
                 patch_sizes=tuple(mcfg.input_image_scales),
                 caps=caps, quantize_uint8=quantize,
+                out_channels=mcfg.in_channels,
             )
             designed = jnp.concatenate([feats, factors], axis=1)
             variables = {"params": params}

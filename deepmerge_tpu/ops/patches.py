@@ -85,20 +85,38 @@ def _pixel_align(channels: int) -> int:
     return math.lcm(LANE_ALIGN, channels) // channels
 
 
+def staged_channels(channels: int) -> int:
+    """Channel count scenes are STAGED with: the next power of two.
+
+    An interleaved 3-band row needs 128-PIXEL window alignment (lcm of the
+    128-lane tile and 3 bytes/px), blowing every gathered window up to
+    cap+128 px wide; padding to RGBA drops the alignment to 32 px —
+    cap+32-wide windows, ~17% less DMA traffic and resize work. The zero
+    band rides through the linear resize and is sliced off the patches.
+    """
+    return 1 << (max(channels, 1) - 1).bit_length()
+
+
 def scene_pad(caps: int | tuple[int, ...], channels: int) -> int:
-    """Per-side zero padding: half the max window + DMA alignment spill."""
+    """Per-side zero padding: half the max window + DMA alignment spill.
+
+    ``channels`` may be the original band count — alignment always uses the
+    STAGED (power-of-two padded) channel count.
+    """
     m = caps if isinstance(caps, int) else max(caps)
-    return m // 2 + _pixel_align(channels)
+    return m // 2 + _pixel_align(staged_channels(channels))
 
 
 def pad_scene(scene: np.ndarray, caps: int | tuple[int, ...]) -> np.ndarray:
     """Zero-pad an (H, W, C) scene for in-bounds aligned window DMA.
 
-    The zeros land exactly where the reference's ``cut_image`` zero-fills
-    (``MyUtils1.py:174-191``).
+    Spatial zeros land exactly where the reference's ``cut_image``
+    zero-fills (``MyUtils1.py:174-191``); channels pad to the next power
+    of two (``staged_channels``) for tighter DMA alignment.
     """
     p = scene_pad(caps, scene.shape[-1])
-    return np.pad(scene, ((p, p), (p, p), (0, 0)))
+    cpad = staged_channels(scene.shape[-1]) - scene.shape[-1]
+    return np.pad(scene, ((p, p), (p, p), (0, cpad)))
 
 
 def _left_top(center, scale):
@@ -110,7 +128,9 @@ def _left_top(center, scale):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch_sizes", "caps", "chunk", "quantize_uint8"),
+    static_argnames=(
+        "patch_sizes", "caps", "chunk", "quantize_uint8", "out_channels"
+    ),
 )
 def extract_multiscale_patches(
     padded_scene,
@@ -120,21 +140,24 @@ def extract_multiscale_patches(
     caps: int | tuple[int, ...] = 512,
     chunk: int = 256,
     quantize_uint8: bool = True,
+    out_channels: int | None = None,
 ):
     """Extract per-point multi-scale patches.
 
     Args:
       padded_scene: (H + pad, W + pad, C) uint8 — ``pad_scene`` output with
-        ``pad = max(caps)``, resident in HBM.
+        ``pad = max(caps)``, resident in HBM (C = ``staged_channels``).
       centers_yx: (B, 2) int32 pixel centers (row, col) in ORIGINAL coords.
       scales: (B, S) int32 adaptive window sides, S >= len(patch_sizes).
       patch_sizes: static per-slot output sides.
       caps: static per-slot max window sides (even; scales clamp to them).
       chunk: batch chunk bounding transient window memory.
       quantize_uint8: emulate cv2-on-uint8 rounding (see ops/resize.py).
+      out_channels: slice patches to the original band count (``pad_scene``
+        stages 3-band scenes as RGBA); None keeps the staged channels.
 
     Returns:
-      tuple of (B, p, p, C) float32 arrays in [0, 1], one per patch size.
+      tuple of (B, p, p, out_channels) float32 in [0, 1], per patch size.
     """
     n_slots = len(patch_sizes)
     if isinstance(caps, int):
@@ -244,10 +267,14 @@ def extract_multiscale_patches(
             for slot in range(n_slots)
         )
 
+    co = c if out_channels is None else out_channels
     centers_c = centers_yx.reshape(-1, chunk, 2)
     scales_c = scales.reshape(-1, chunk, scales.shape[-1])
     if centers_c.shape[0] == 1:
         outs = chunk_fn((centers_c[0], scales_c[0]))
-        return tuple(o[:b] for o in outs)
+        return tuple(o[:b, :, :, :co] for o in outs)
     outs = lax.map(chunk_fn, (centers_c, scales_c))
-    return tuple(o.reshape(-1, p, p, c)[:b] for o, p in zip(outs, patch_sizes))
+    return tuple(
+        o.reshape(-1, p, p, c)[:b, :, :, :co]
+        for o, p in zip(outs, patch_sizes)
+    )

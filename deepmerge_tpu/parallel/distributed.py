@@ -465,6 +465,7 @@ def extract_and_merge_sharded(
             tile, centers, scl,
             patch_sizes=tuple(mcfg.input_image_scales),
             caps=staged.caps, quantize_uint8=cfg.quantize_uint8,
+            out_channels=mcfg.in_channels,
         )
         designed = jnp.concatenate([feats, fac], axis=1)
         variables = {"params": params}

@@ -227,7 +227,7 @@ def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
                 dropout_rng):
         patches = extract_multiscale_patches(
             padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
-            quantize_uint8=quantize,
+            quantize_uint8=quantize, out_channels=device_scene.channels,
         )
         variables = {"params": params}
         mutable = False
@@ -300,7 +300,7 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
                 dropout_rng):
         patches = extract_multiscale_patches(
             padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
-            quantize_uint8=quantize,
+            quantize_uint8=quantize, out_channels=device_scene.channels,
         )
         variables = {"params": params}
         mutable = False

@@ -39,13 +39,15 @@ from deepmerge_tpu.ops.patches import (
 class DeviceScene:
     """A scene staged for device-side patch extraction."""
 
-    padded: jnp.ndarray          # (H+2·pad, W+2·pad, C) uint8 in HBM
+    padded: jnp.ndarray          # (H+2·pad, W+2·pad, Cs) uint8 in HBM
+                                 # (Cs = staged_channels: 3-band → RGBA)
     points_yx: np.ndarray        # (P, 2) int32
     point_features: np.ndarray   # (P, 15) designed attributes of owner region
     point_inner: np.ndarray      # (P,)
     point_object: np.ndarray     # (P,)
     point_region: np.ndarray     # (P,)
     caps: tuple[int, ...]        # static per-slot window caps
+    channels: int = 3            # ORIGINAL band count (patch slice target)
 
 
 def stage_scene(scene: Scene, cfg: DataConfig) -> DeviceScene:
@@ -77,6 +79,7 @@ def stage_scene(scene: Scene, cfg: DataConfig) -> DeviceScene:
         point_object=obj,
         point_region=scene.regions.point_region,
         caps=caps,
+        channels=scene.image.shape[-1],
     )
 
 
@@ -97,6 +100,7 @@ def point_batch(ds: DeviceScene, point_idx: np.ndarray, cfg: DataConfig):
         caps=ds.caps,
         chunk=min(256, max(len(point_idx), 8)),
         quantize_uint8=cfg.quantize_uint8,
+        out_channels=ds.channels,
     )
     designed = jnp.concatenate(
         [jnp.asarray(ds.point_features[point_idx], jnp.float32), factors],
@@ -199,6 +203,7 @@ class TripletSampler:
             jnp.asarray(scales),
             patch_sizes=(self.crop_size,) * 3,
             caps=ds.caps[-1],
+            out_channels=ds.channels,
             quantize_uint8=self.cfg.quantize_uint8,
         )
 

@@ -35,7 +35,7 @@ def test_patches_match_oracle_interior(seed, rng):
     scales, _ = adaptive_scales(inner, obj, tuple(PATCH_SIZES) + (1,))
 
     ours = extract_multiscale_patches(
-        padded, pts, scales, PATCH_SIZES, caps=CAP, chunk=2
+        padded, pts, scales, PATCH_SIZES, caps=CAP, chunk=2, out_channels=3
     )
     for b in range(len(pts)):
         ref, _, _ = ref_patches(image, pts[b], inner[b], obj[b], PATCH_SIZES)
@@ -60,7 +60,7 @@ def test_patches_match_oracle_at_borders(rng):
     scales, _ = adaptive_scales(inner, obj, tuple(PATCH_SIZES) + (1,))
 
     ours = extract_multiscale_patches(
-        padded, pts, scales, PATCH_SIZES, caps=CAP, chunk=3
+        padded, pts, scales, PATCH_SIZES, caps=CAP, chunk=3, out_channels=3
     )
     for b in range(len(pts)):
         ref, _, _ = ref_patches(image, pts[b], inner[b], obj[b], PATCH_SIZES)
@@ -78,7 +78,7 @@ def test_batch_padding_roundtrip(rng):
     pts = np.array([[32, 32]] * 5, np.int32)
     scales = np.tile(np.array([[8, 16, 24, 32]], np.int32), (5, 1))
     out = extract_multiscale_patches(
-        padded, pts, scales, PATCH_SIZES, caps=CAP, chunk=4
+        padded, pts, scales, PATCH_SIZES, caps=CAP, chunk=4, out_channels=3
     )
     assert out[0].shape == (5, 16, 16, 3)
     # identical points -> identical patches

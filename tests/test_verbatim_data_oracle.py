@@ -80,7 +80,7 @@ def _ours(image, centers, inner, obj, max_window=512):
     scales, factors = adaptive_scales(inner, obj, PATCH_SIZES + (1,))
     patches = extract_multiscale_patches(
         padded, np.asarray(centers, np.int32), np.asarray(scales),
-        PATCH_SIZES, caps=caps,
+        PATCH_SIZES, caps=caps, out_channels=image.shape[-1],
     )
     return patches, np.asarray(scales), np.asarray(factors)
 

@@ -173,7 +173,7 @@ def probe_pipeline(B=2048):
         c = centers + (i % 2).astype(centers.dtype)  # jiggle: no hoisting
         patches = extract_multiscale_patches(
             padded, c, scales, patch_sizes=tuple(mcfg.input_image_scales),
-            caps=ds.caps, quantize_uint8=True,
+            caps=ds.caps, quantize_uint8=True, out_channels=3,
         )
         return sum(jnp.abs(p).sum() for p in patches)
 
@@ -181,7 +181,7 @@ def probe_pipeline(B=2048):
         c = centers + (i % 2).astype(centers.dtype)
         patches = extract_multiscale_patches(
             padded, c, scales, patch_sizes=tuple(mcfg.input_image_scales),
-            caps=ds.caps, quantize_uint8=True,
+            caps=ds.caps, quantize_uint8=True, out_channels=3,
         )
         designed = jnp.concatenate([feats, factors], axis=1)
         out = model.apply({"params": params}, patches, designed, False)

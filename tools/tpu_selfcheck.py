@@ -141,7 +141,7 @@ def check_resize():
     scales = np.stack([np.full(16, 50), np.full(16, 100)], 1).astype(np.int32)
     got = extract_multiscale_patches(
         padded, jnp.asarray(centers), jnp.asarray(scales),
-        patch_sizes=(32, 64), caps=caps,
+        patch_sizes=(32, 64), caps=caps, out_channels=3,
     )
     if cv2 is None:
         print("  SKIP resize (no cv2 on this host)")
