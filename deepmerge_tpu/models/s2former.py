@@ -181,6 +181,9 @@ class CrossScaleAttention(nn.Module):
             out = fused_attention_qkv(
                 qkv_packed, bias, heads=self.num_heads,
                 interpret=default_interpret(),
+                # training: emit softmax probs from the kernel so the
+                # backward skips the f32 logits recompute (bf16 matmuls)
+                save_probs=not deterministic,
             )
         else:
             qkv = qkv_packed.reshape(b, n, 3, self.num_heads, head_dim)

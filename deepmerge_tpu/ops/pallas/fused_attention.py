@@ -172,12 +172,20 @@ def _attn_qkv_kernel(qkv_ref, bias_ref, out_ref, *, heads: int, scale: float):
     out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "block_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("heads", "block_b", "interpret", "save_probs")
+)
 def fused_attention_qkv(qkv, bias, heads: int, block_b: int = 8,
-                        interpret: bool = False):
+                        interpret: bool = False, save_probs: bool = False):
     """softmax(q·kᵀ/√D + bias)·v straight from the packed qkv projection.
 
-    Differentiable (custom VJP recomputes with XLA ops in the backward).
+    Differentiable. Two VJP strategies:
+      * default: backward recomputes logits+softmax from the saved qkv in
+        f32 XLA (cheapest forward — nothing extra leaves the kernel);
+      * ``save_probs=True`` (the TRAINING path): the kernel additionally
+        emits the softmax probabilities (bf16), so the backward skips the
+        f32 logits recompute entirely and runs every matmul in bf16
+        (measurements in BENCH.md).
 
     Args:
       qkv: (B, N, 3·C) — the qkv Dense output, heads interleaved as
@@ -188,6 +196,8 @@ def fused_attention_qkv(qkv, bias, heads: int, block_b: int = 8,
     Returns:
       (B, N, C) attention output in qkv's dtype.
     """
+    if save_probs:
+        return _fused_qkv_train_vjp(qkv, bias, heads, block_b, interpret)
     return _fused_qkv_vjp(qkv, bias, heads, block_b, interpret)
 
 
@@ -224,6 +234,123 @@ def _fused_qkv_bwd(heads, block_b, interpret, res, g):
 
 
 _fused_qkv_vjp.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def _attn_qkv_probs_kernel(qkv_ref, bias_ref, out_ref, probs_ref, *,
+                           heads: int, scale: float):
+    """Same as ``_attn_qkv_kernel`` but also emits softmax probabilities
+    (bf16) for the saved-activation training backward."""
+    bt, n, three_c = qkv_ref.shape
+    c = three_c // 3
+    d = c // heads
+    x = qkv_ref[...]
+    bias = bias_ref[...].astype(jnp.float32)
+
+    outs = []
+    for h in range(heads):
+        q = x[:, :, h * d : (h + 1) * d] * scale
+        k = x[:, :, c + h * d : c + (h + 1) * d]
+        v = x[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + bias[h][None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        av = jax.lax.dot_general(
+            e.astype(x.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(av * recip)
+        probs_ref[:, h, :, :] = (e * recip).astype(probs_ref.dtype)
+    out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
+
+
+def _fused_qkv_probs_forward(qkv, bias, heads, block_b, interpret):
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    d = c // heads
+    scale = d ** -0.5
+    block_b = min(block_b, max(b, 1))
+    pad = (-b) % block_b
+    if pad:
+        qkv = jnp.pad(qkv, [(0, pad), (0, 0), (0, 0)])
+    out, probs = pl.pallas_call(
+        functools.partial(_attn_qkv_probs_kernel, heads=heads, scale=scale),
+        grid=((b + pad) // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, n, three_c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, heads, n, n), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b + pad, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b + pad, heads, n, n), jnp.bfloat16),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qkv, bias.astype(jnp.float32))
+    if pad:
+        return out[:b], probs[:b]
+    return out, probs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_qkv_train_vjp(qkv, bias, heads, block_b, interpret):
+    out, _ = _fused_qkv_probs_forward(qkv, bias, heads, block_b, interpret)
+    return out
+
+
+def _fused_qkv_train_fwd(qkv, bias, heads, block_b, interpret):
+    out, probs = _fused_qkv_probs_forward(qkv, bias, heads, block_b,
+                                          interpret)
+    return out, (qkv, probs)
+
+
+def _fused_qkv_train_bwd(heads, block_b, interpret, res, g):
+    """Backward from SAVED probabilities: no logits/softmax recompute, and
+    every matmul runs in bf16 with f32 accumulation (gradients tolerate the
+    reduced weight precision; the f32-recompute path remains the default
+    for parity-sensitive uses)."""
+    qkv, probs = res
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    d = c // heads
+    scale = d ** -0.5
+    q, k, v = _split_qkv(qkv, heads)
+    g4 = g.reshape(b, n, heads, d).astype(jnp.bfloat16)
+    p16 = probs
+    v16 = v.astype(jnp.bfloat16)
+    dv = jnp.einsum("bhnm,bnhd->bmhd", p16, g4,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bnhd,bmhd->bhnm", g4, v16,
+                    preferred_element_type=jnp.float32)
+    p32 = p16.astype(jnp.float32)
+    dlogits = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+    dbias = jnp.sum(dlogits, axis=0)
+    dl16 = dlogits.astype(jnp.bfloat16)
+    dq = jnp.einsum("bhnm,bmhd->bnhd", dl16, k.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhnm,bnhd->bmhd", dl16, q.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) * scale
+    dqkv = jnp.concatenate(
+        [dq.reshape(b, n, c), dk.reshape(b, n, c), dv.reshape(b, n, c)],
+        axis=2,
+    )
+    return dqkv.astype(qkv.dtype), dbias.astype(jnp.float32)
+
+
+_fused_qkv_train_vjp.defvjp(_fused_qkv_train_fwd, _fused_qkv_train_bwd)
 
 
 def _fused_qkv_forward(qkv, bias, heads, block_b, interpret):

@@ -121,3 +121,42 @@ def test_model_fused_flag_is_numerically_consistent(tiny_model_cfg):
     out_x = np.asarray(m_x.apply(variables, patches, designed, False))
     out_f = np.asarray(m_f.apply(variables, patches, designed, False))
     np.testing.assert_allclose(out_f, out_x, rtol=1e-4, atol=1e-4)
+
+
+def test_save_probs_forward_matches_default():
+    """save_probs=True (training) forward == the default kernel forward."""
+    from deepmerge_tpu.ops.pallas.fused_attention import fused_attention_qkv
+
+    r = np.random.RandomState(2)
+    b, n, h, d = 5, 48, 4, 16
+    qkv = jnp.asarray(r.randn(b, n, 3 * h * d), jnp.float32)
+    bias = jnp.asarray(r.randn(h, n, n), jnp.float32)
+    want = np.asarray(fused_attention_qkv(qkv, bias, heads=h, block_b=2,
+                                          interpret=True))
+    got = np.asarray(fused_attention_qkv(qkv, bias, heads=h, block_b=2,
+                                         interpret=True, save_probs=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_save_probs_gradients_close_to_recompute():
+    """The bf16 saved-probs backward tracks the f32 recompute backward
+    (looser tolerance: probs stored bf16, matmuls bf16/f32-acc)."""
+    from deepmerge_tpu.ops.pallas.fused_attention import fused_attention_qkv
+
+    r = np.random.RandomState(3)
+    b, n, h, d = 3, 12, 2, 8
+    qkv = jnp.asarray(r.randn(b, n, 3 * h * d), jnp.float32)
+    bias = jnp.asarray(r.randn(h, n, n), jnp.float32)
+
+    def loss(qkv, bias, sp):
+        return jnp.sum(
+            fused_attention_qkv(qkv, bias, heads=h, block_b=2,
+                                interpret=True, save_probs=sp) ** 2
+        )
+
+    g_t = jax.grad(loss, argnums=(0, 1))(qkv, bias, True)
+    g_r = jax.grad(loss, argnums=(0, 1))(qkv, bias, False)
+    for a, b_ in zip(g_t, g_r):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        scale = np.abs(b_).max() + 1e-6
+        assert np.abs(a - b_).max() / scale < 2e-2
