@@ -47,6 +47,7 @@ def main():
     mcfg = ModelConfig(
         dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3"),
         fused_stage_chain=chain != "0", chain_stage0=chain == "2",
+        fused_block_bt=int(os.environ.get("BENCH_BT", 2)),
     )
     dcfg = DataConfig(max_window=512, eval_batch_size=BATCH)
     model = build_model(mcfg)

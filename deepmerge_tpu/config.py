@@ -50,6 +50,8 @@ class ModelConfig:
                                               # VMEM-resident; needs fused_block)
     chain_stage0: bool = False                # also chain stage-0 (6x N=192
                                               # blocks ≈ 97MB VMEM — experiment)
+    fused_block_bt: int = 2                   # megakernel batch-tile (samples
+                                              # per grid step)
     exact_gelu: bool = False                  # erf GELU (torch parity) vs tanh approx
                                               # (~15ms/block cheaper on VPU; value
                                               # diff <=3e-3, well inside the 0.5%

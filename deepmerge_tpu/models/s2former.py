@@ -294,6 +294,7 @@ class CrossScaleBlock(nn.Module):
     fused: bool = True
     fused_block: bool = False
     exact_gelu: bool = False
+    block_bt: int = 2
     dtype: Any = jnp.float32
 
     @property
@@ -380,7 +381,7 @@ class CrossScaleBlock(nn.Module):
         # scheduling dominates the isolated optimum.
         return fused_block(
             x.astype(self.dtype), params, heads=self.num_heads,
-            exact_gelu=self.exact_gelu, block_b=2,
+            exact_gelu=self.exact_gelu, block_b=self.block_bt,
             interpret=default_interpret(),
         )
 
@@ -539,6 +540,7 @@ class S2Former(nn.Module):
                     drop_path=(drop_path[i] if drop_path else 0.0),
                     fused=cfg.fused_attention,
                     fused_block=cfg.fused_block,
+                    block_bt=cfg.fused_block_bt,
                     exact_gelu=cfg.exact_gelu,
                     dtype=dtype, name=f"{tag}_{i}",
                 )
@@ -625,7 +627,8 @@ class S2Former(nn.Module):
             return fused_block_chain(
                 x.astype(self.dtype_), params_list,
                 heads=self.cfg.num_heads, exact_gelu=self.cfg.exact_gelu,
-                block_b=2, interpret=default_interpret(),
+                block_b=self.cfg.fused_block_bt,
+                interpret=default_interpret(),
             )
         for blk in blocks:
             x = blk(x, det)
