@@ -172,11 +172,63 @@ def _attn_qkv_kernel(qkv_ref, bias_ref, out_ref, *, heads: int, scale: float):
     out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
 
 
+def _attn_qkv_kernel_packed(qkv_ref, bias_ref, out_ref, *, heads: int,
+                            scale: float):
+    """Head-pair PACKED p·v: the value matmul of two heads runs as ONE
+    (n, 2n)×(2n, 2d) block-diagonal matmul filling all 128 lanes (d=64
+    leaves half the MXU lanes idle per head). The q·kᵀ matmuls stay
+    per-head (contraction packing would mix heads). Experimental — see
+    BENCH.md for the measurement that decides its fate."""
+    bt, n, three_c = qkv_ref.shape
+    c = three_c // 3
+    d = c // heads
+    x = qkv_ref[...]
+    bias = bias_ref[...].astype(jnp.float32)
+
+    outs = []
+    for hp in range(heads // 2):
+        h0, h1 = 2 * hp, 2 * hp + 1
+        es, recips, vs = [], [], []
+        for h in (h0, h1):
+            q = x[:, :, h * d : (h + 1) * d] * scale
+            k = x[:, :, c + h * d : c + (h + 1) * d]
+            vs.append(x[:, :, 2 * c + h * d : 2 * c + (h + 1) * d])
+            logits = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) + bias[h][None]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            recips.append(1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            es.append(e.astype(x.dtype))
+        zeros = jnp.zeros_like(vs[0])
+        vp = jnp.concatenate(
+            [jnp.concatenate([vs[0], zeros], axis=2),
+             jnp.concatenate([zeros, vs[1]], axis=2)],
+            axis=1,
+        )  # (bt, 2n, 2d) block-diagonal
+        ep = jnp.concatenate(es, axis=2)  # (bt, n, 2n)
+        av = jax.lax.dot_general(
+            ep, vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (bt, n, 2d): lanes 0..d-1 head h0, d..2d-1 head h1
+        rp = jnp.concatenate(
+            [jnp.broadcast_to(recips[0], (bt, n, d)),
+             jnp.broadcast_to(recips[1], (bt, n, d))],
+            axis=2,
+        )
+        outs.append(av * rp)
+    out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("heads", "block_b", "interpret", "save_probs")
+    jax.jit,
+    static_argnames=("heads", "block_b", "interpret", "save_probs",
+                     "packed_pv"),
 )
 def fused_attention_qkv(qkv, bias, heads: int, block_b: int = 8,
-                        interpret: bool = False, save_probs: bool = False):
+                        interpret: bool = False, save_probs: bool = False,
+                        packed_pv: bool = False):
     """softmax(q·kᵀ/√D + bias)·v straight from the packed qkv projection.
 
     Differentiable. Two VJP strategies:
@@ -198,6 +250,10 @@ def fused_attention_qkv(qkv, bias, heads: int, block_b: int = 8,
     """
     if save_probs:
         return _fused_qkv_train_vjp(qkv, bias, heads, block_b, interpret)
+    if packed_pv:
+        assert heads % 2 == 0, "packed_pv needs an even head count"
+        return _fused_qkv_forward(qkv, bias, heads, block_b, interpret,
+                                  kernel=_attn_qkv_kernel_packed)
     return _fused_qkv_vjp(qkv, bias, heads, block_b, interpret)
 
 
@@ -353,7 +409,8 @@ def _fused_qkv_train_bwd(heads, block_b, interpret, res, g):
 _fused_qkv_train_vjp.defvjp(_fused_qkv_train_fwd, _fused_qkv_train_bwd)
 
 
-def _fused_qkv_forward(qkv, bias, heads, block_b, interpret):
+def _fused_qkv_forward(qkv, bias, heads, block_b, interpret,
+                       kernel=_attn_qkv_kernel):
     b, n, three_c = qkv.shape
     c = three_c // 3
     d = c // heads
@@ -363,7 +420,7 @@ def _fused_qkv_forward(qkv, bias, heads, block_b, interpret):
     if pad:
         qkv = jnp.pad(qkv, [(0, pad), (0, 0), (0, 0)])
     out = pl.pallas_call(
-        functools.partial(_attn_qkv_kernel, heads=heads, scale=scale),
+        functools.partial(kernel, heads=heads, scale=scale),
         grid=((b + pad) // block_b,),
         in_specs=[
             pl.BlockSpec((block_b, n, three_c), lambda i: (i, 0, 0),

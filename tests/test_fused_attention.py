@@ -160,3 +160,18 @@ def test_save_probs_gradients_close_to_recompute():
         a, b_ = np.asarray(a), np.asarray(b_)
         scale = np.abs(b_).max() + 1e-6
         assert np.abs(a - b_).max() / scale < 2e-2
+
+
+def test_packed_pv_matches_default():
+    """Experimental head-pair packed p·v kernel == default kernel."""
+    from deepmerge_tpu.ops.pallas.fused_attention import fused_attention_qkv
+
+    r = np.random.RandomState(4)
+    b, n, h, d = 5, 48, 4, 16
+    qkv = jnp.asarray(r.randn(b, n, 3 * h * d), jnp.float32)
+    bias = jnp.asarray(r.randn(h, n, n), jnp.float32)
+    want = np.asarray(fused_attention_qkv(qkv, bias, heads=h, block_b=2,
+                                          interpret=True))
+    got = np.asarray(fused_attention_qkv(qkv, bias, heads=h, block_b=2,
+                                         interpret=True, packed_pv=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -96,9 +96,12 @@ def probe_attn(B=2048):
                          preferred_element_type=jnp.float32)
         return jnp.abs(out.astype(jnp.bfloat16)).sum()
 
-    def fused(i, qkv_, bias_, bb=2):
+    def fused(i, qkv_, bias_, bb=2, packed=False):
         x = qkv_ + i.astype(qkv_.dtype)
-        return jnp.abs(fused_attention_qkv(x, bias_, heads=h, block_b=bb)).sum()
+        return jnp.abs(
+            fused_attention_qkv(x, bias_, heads=h, block_b=bb,
+                                packed_pv=packed)
+        ).sum()
 
     def perturb(i, qkv_, bias_):
         return jnp.abs(qkv_ + i.astype(qkv_.dtype)).sum()
@@ -107,9 +110,12 @@ def probe_attn(B=2048):
     print(f"  perturb baseline     : {base:7.2f} ms")
     ms = rep_probe(xla_attn, qkv, bias, k=8) - base
     print(f"  xla attention        : {ms:7.2f} ms  ({ideal / (ms/1e3) / 1e12:5.1f} TF/s)")
-    for bb in (1, 2):
+    for bb in (2, 8):
         ms = rep_probe(functools.partial(fused, bb=bb), qkv, bias, k=8) - base
         print(f"  fused qkv block_b={bb:2d} : {ms:7.2f} ms  ({ideal / (ms/1e3) / 1e12:5.1f} TF/s)")
+        ms = rep_probe(functools.partial(fused, bb=bb, packed=True),
+                       qkv, bias, k=8) - base
+        print(f"  packed-pv block_b={bb:2d}: {ms:7.2f} ms  ({ideal / (ms/1e3) / 1e12:5.1f} TF/s)")
 
 
 def _flagship(fused: bool = True):
