@@ -8,6 +8,7 @@ The reference has no CLI at all — every hyperparameter is edited in source
   process-folder     multi-scene batch (ExtractFeatures.py:241-303 analog)
   export-synthetic   write a synthetic scene in the reference file layout
   import-ckpt        convert a reference torch .pth checkpoint to .msgpack
+  export-ckpt        convert a TPU checkpoint to a reference-loadable .pth
   config             print the resolved config
 """
 
@@ -67,6 +68,12 @@ def main(argv=None):
     p_imp.add_argument("out", help="output .msgpack path")
     p_imp.add_argument("overrides", nargs="*", default=[])
 
+    p_exp = sub.add_parser("export-ckpt")
+    p_exp.add_argument("ckpt", help="orbax checkpoint dir or .msgpack file")
+    p_exp.add_argument("out", help="output reference .pth path")
+    p_exp.add_argument("--epoch", type=int, default=0)
+    p_exp.add_argument("overrides", nargs="*", default=[])
+
     p_cfg = sub.add_parser("config")
     p_cfg.add_argument("overrides", nargs="*", default=[])
 
@@ -90,6 +97,38 @@ def main(argv=None):
         variables = load_torch_checkpoint(args.pth, cfg)
         save_flax_variables(variables, args.out)
         print(f"imported -> {args.out} (model {cfg.model.name})")
+        return 0
+
+    if args.cmd == "export-ckpt":
+        import os
+
+        from deepmerge_tpu.compat.torch_export import save_torch_checkpoint
+
+        epoch = args.epoch
+        if os.path.isdir(args.ckpt):  # orbax checkpoint directory
+            import json as _json
+
+            import orbax.checkpoint as ocp
+
+            payload = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.ckpt)
+            )
+            variables = {"params": payload["params"]}
+            if payload.get("batch_stats"):
+                variables["batch_stats"] = payload["batch_stats"]
+            meta_path = os.path.join(args.ckpt, "meta.json")
+            if os.path.exists(meta_path) and not args.epoch:
+                with open(meta_path) as f:
+                    epoch = int(_json.load(f).get("epoch", 0))
+        else:  # .msgpack (import-ckpt output)
+            from deepmerge_tpu.compat.torch_import import load_flax_variables
+
+            variables = load_flax_variables(args.ckpt)
+        save_torch_checkpoint(variables, cfg.model, args.out, epoch=epoch)
+        print(
+            f"exported -> {args.out} (model {cfg.model.name}, epoch {epoch};"
+            " reference-loadable via checkpoint['net'])"
+        )
         return 0
 
     if args.cmd == "export-synthetic":
