@@ -207,15 +207,18 @@ def extract_multiscale_patches(
         off_x = _left_top(centers[:, 1], s) - px0a + pad
 
         if quantize_uint8:
-            # EXACT single-pass bf16 path. INTER_AREA weights scaled by the
+            # EXACT reduced-pass path. INTER_AREA weights scaled by the
             # window side s are small integers (≤ max(out, s) ≤ 256): both
             # down (overlap·out) and up ((1−f)·s, f·s) coefficients — and
-            # uint8 pixels are integers ≤ 255 — so every bf16 operand is
-            # exact, every MXU product ≤ 2^16 is exact, and f32 accumulation
-            # of sums ≤ s·255 < 2^24 is exact. Pass 1 is exact integer math
-            # in ONE bf16 pass instead of 3-pass Precision.HIGH; pass 2
-            # splits its (fractional) input into round+frac so the dominant
-            # rounded part stays exact (residual error ~1e-3 ≪ 0.5 LSB).
+            # uint8 pixels are integers ≤ 255 — so pass 1 runs as ONE bf16
+            # matmul with every product (≤ 2^16) and f32-accumulated sum
+            # (≤ s·255 < 2^24) exact, instead of 3-pass Precision.HIGH on
+            # f32 windows (2× the operand traffic). Pass 2 keeps its
+            # integer f32 operands and uses HIGH — the bf16x3 split of
+            # ≤18-bit integers is exact and its 3 accumulation passes stay
+            # inside one kernel (a round+frac 2-einsum split was measured
+            # SLOWER: two full memory-traffic matmuls beat 3 in-kernel
+            # passes — BENCH.md round 3). One divide by s² at the end.
             kr = jax.vmap(
                 lambda sc, off: resize_weights(out, win_rows, sc, off)
                 * sc.astype(jnp.float32)
@@ -223,24 +226,20 @@ def extract_multiscale_patches(
             kc = jax.vmap(
                 lambda sc, off: resize_weights(out, win_px, sc, off)
                 * sc.astype(jnp.float32)
-            )(s, off_x).astype(jnp.bfloat16)
+            )(s, off_x)
             win_b = windows.reshape(-1, win_rows, win_px, c).astype(
                 jnp.bfloat16
             )
-            inv = (1.0 / s.astype(jnp.float32))[:, None, None, None]
             x1 = jnp.einsum(
                 "boi,bijc->bojc", kr, win_b,
                 preferred_element_type=jnp.float32,
-            ) * inv
-            a = jnp.round(x1)
-            x2 = jnp.einsum(
-                "bpj,bojc->bopc", kc, a.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ) + jnp.einsum(
-                "bpj,bojc->bopc", kc, (x1 - a).astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
             )
-            return jnp.floor(x2 * inv + 0.5) / 255.0
+            x2 = jnp.einsum(
+                "bpj,bojc->bopc", kc, x1,
+                precision=hi_prec, preferred_element_type=jnp.float32,
+            )
+            inv2 = 1.0 / (s.astype(jnp.float32) ** 2)
+            return jnp.floor(x2 * inv2[:, None, None, None] + 0.5) / 255.0
 
         windows = windows.reshape(-1, win_rows, win_px, c).astype(jnp.float32)
         wr = jax.vmap(lambda sc, off: resize_weights(out, win_rows, sc, off))(
