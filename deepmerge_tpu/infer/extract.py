@@ -140,6 +140,7 @@ class FeatureExtractor:
                 patch_sizes=tuple(mcfg.input_image_scales),
                 caps=caps, quantize_uint8=quantize,
                 out_channels=mcfg.in_channels,
+                out_dtype=jnp.dtype(mcfg.dtype),
             )
             designed = jnp.concatenate([feats, factors], axis=1)
             variables = {"params": params}

@@ -129,7 +129,8 @@ def _left_top(center, scale):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "patch_sizes", "caps", "chunk", "quantize_uint8", "out_channels"
+        "patch_sizes", "caps", "chunk", "quantize_uint8", "out_channels",
+        "out_dtype",
     ),
 )
 def extract_multiscale_patches(
@@ -141,6 +142,7 @@ def extract_multiscale_patches(
     chunk: int = 256,
     quantize_uint8: bool = True,
     out_channels: int | None = None,
+    out_dtype=jnp.float32,
 ):
     """Extract per-point multi-scale patches.
 
@@ -155,9 +157,12 @@ def extract_multiscale_patches(
       quantize_uint8: emulate cv2-on-uint8 rounding (see ops/resize.py).
       out_channels: slice patches to the original band count (``pad_scene``
         stages 3-band scenes as RGBA); None keeps the staged channels.
+      out_dtype: patch dtype. Model consumers cast to the compute dtype
+        anyway, so emitting bf16 directly halves the patch materialization
+        the forward reads.
 
     Returns:
-      tuple of (B, p, p, out_channels) float32 in [0, 1], per patch size.
+      tuple of (B, p, p, out_channels) ``out_dtype`` in [0, 1], per size.
     """
     n_slots = len(patch_sizes)
     if isinstance(caps, int):
@@ -239,7 +244,8 @@ def extract_multiscale_patches(
                 precision=hi_prec, preferred_element_type=jnp.float32,
             )
             inv2 = 1.0 / (s.astype(jnp.float32) ** 2)
-            return jnp.floor(x2 * inv2[:, None, None, None] + 0.5) / 255.0
+            x = jnp.floor(x2 * inv2[:, None, None, None] + 0.5) / 255.0
+            return x.astype(out_dtype)
 
         windows = windows.reshape(-1, win_rows, win_px, c).astype(jnp.float32)
         wr = jax.vmap(lambda sc, off: resize_weights(out, win_rows, sc, off))(
@@ -257,7 +263,7 @@ def extract_multiscale_patches(
             "bpj,bojc->bopc", wc, x,
             precision=hi_prec, preferred_element_type=jnp.float32,
         )
-        return x / 255.0
+        return (x / 255.0).astype(out_dtype)
 
     def chunk_fn(args):
         centers, scls = args

@@ -466,6 +466,7 @@ def extract_and_merge_sharded(
             patch_sizes=tuple(mcfg.input_image_scales),
             caps=staged.caps, quantize_uint8=cfg.quantize_uint8,
             out_channels=mcfg.in_channels,
+            out_dtype=jnp.dtype(mcfg.dtype),
         )
         designed = jnp.concatenate([feats, fac], axis=1)
         variables = {"params": params}

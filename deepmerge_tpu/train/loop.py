@@ -228,6 +228,7 @@ def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
         patches = extract_multiscale_patches(
             padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
             quantize_uint8=quantize, out_channels=device_scene.channels,
+            out_dtype=jnp.dtype(model.cfg.dtype),
         )
         variables = {"params": params}
         mutable = False
@@ -301,6 +302,7 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
         patches = extract_multiscale_patches(
             padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
             quantize_uint8=quantize, out_channels=device_scene.channels,
+            out_dtype=jnp.dtype(model.cfg.dtype),
         )
         variables = {"params": params}
         mutable = False
