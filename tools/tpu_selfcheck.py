@@ -123,6 +123,58 @@ def check_fused_block():
               atol=2e-1, rtol=2e-1)
 
 
+def check_fused_block_chain():
+    """Stage-chained kernel (whole stage, weights VMEM-resident) on chip."""
+    from deepmerge_tpu.ops.pallas.fused_block import (
+        fused_block_chain,
+        _xla_chain,
+    )
+
+    r = np.random.RandomState(4)
+    for n, depth, tag in ((48, 4, "stage1"), (12, 2, "stage2")):
+        c, heads, hid = 768, 12, 3072
+        rr = lambda *s: jnp.asarray(r.randn(*s) * 0.05, jnp.float32)
+        params_list = tuple(
+            (
+                jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+                rr(c, 3 * c), rr(3 * c), rr(heads, n, n), rr(c, c), rr(c),
+                jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+                rr(c, hid), rr(hid), rr(hid, c), rr(c),
+            )
+            for _ in range(depth)
+        )
+        x = jnp.asarray(r.randn(8, n, c), jnp.float32)
+        want = np.asarray(
+            fused_block_chain(x, params_list, heads=heads, interpret=True)
+        )
+        got = np.asarray(fused_block_chain(x, params_list, heads=heads))
+        check(f"fused_block_chain vs interpret n={n}x{depth} ({tag})", got,
+              want, atol=5e-2, rtol=5e-2)
+        xla = np.asarray(_xla_chain(x, params_list, heads, False))
+        check(f"fused_block_chain vs XLA n={n}x{depth} ({tag})", got, xla,
+              atol=2e-1, rtol=2e-1)
+
+
+def check_attention_variants():
+    """save_probs (training) and packed_pv kernels on chip."""
+    from deepmerge_tpu.ops.pallas.fused_attention import fused_attention_qkv
+
+    r = np.random.RandomState(5)
+    n, heads, c = 192, 12, 768
+    qkv = jnp.asarray(r.randn(16, n, 3 * c) * 0.3, jnp.float32)
+    bias = jnp.asarray(r.randn(heads, n, n) * 0.3, jnp.float32)
+    base = np.asarray(fused_attention_qkv(qkv, bias, heads=heads))
+    probs = np.asarray(
+        fused_attention_qkv(qkv, bias, heads=heads, save_probs=True)
+    )
+    check("attention save_probs fwd == default", probs, base)
+    packed = np.asarray(
+        fused_attention_qkv(qkv, bias, heads=heads, packed_pv=True)
+    )
+    check("attention packed_pv == default", packed, base, atol=5e-4,
+          rtol=5e-4)
+
+
 def check_resize():
     from deepmerge_tpu.ops.patches import extract_multiscale_patches, pad_scene
 
@@ -178,6 +230,10 @@ def main():
     check_attention()
     print("[fused block megakernel]")
     check_fused_block()
+    print("[fused block chain]")
+    check_fused_block_chain()
+    print("[attention variants]")
+    check_attention_variants()
     print("[resize]")
     check_resize()
     if FAILURES:
