@@ -7,7 +7,11 @@ image, so this module implements the raster subset the pipeline needs:
   * classic TIFF (magic 42) AND BigTIFF (magic 43, 8-byte offsets — the
     common container for real remote-sensing mosaics), little- or big-endian
   * uint8/uint16/int16/uint32/float32, striped or tiled
-  * compression: none(1), Deflate(8/32946), PackBits(32773), LZW(5)
+  * compression: none(1), Deflate(8/32946), PackBits(32773), LZW(5),
+    LZMA(34925), ZSTD(50000/34926, via the zstandard package), and the
+    lossy image codecs JPEG(7, incl. shared JPEGTables) and WebP(50001)
+    via Pillow — together covering every compression GDAL commonly writes
+    for remote-sensing mosaics
   * GeoTIFF geotransform from ModelPixelScale(33550) + ModelTiepoint(33922)
   * writer: uncompressed striped uint8, with geo tags; classic or BigTIFF
 
@@ -40,6 +44,7 @@ _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
 _SAMPLE_FORMAT = 339
+_JPEG_TABLES = 347
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 
@@ -107,6 +112,26 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _jpeg_decode(data: bytes, tables: bytes | None) -> np.ndarray:
+    """Decode one new-style-JPEG (compression 7) tile/strip via Pillow.
+
+    TIFF stores shared quantization/Huffman tables in the JPEGTables tag
+    (347) as an abbreviated JPEG stream ``SOI .. tables .. EOI``; each
+    tile/strip is then ``SOI <scan> EOI``. Splicing ``tables[:-2]`` (drop
+    EOI) with ``data[2:]`` (drop SOI) rebuilds a standalone JPEG.
+    """
+    import io
+
+    from PIL import Image
+
+    if tables and len(tables) > 4:
+        data = tables[:-2] + data[2:]
+    arr = np.asarray(Image.open(io.BytesIO(data)))
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
 def _decompress(data: bytes, method: int, expected: int) -> bytes:
     if method == 1:
         return data
@@ -118,6 +143,20 @@ def _decompress(data: bytes, method: int, expected: int) -> bytes:
         return _unpackbits(data, expected)
     if method == 5:
         return _lzw_decode(data, expected)
+    if method == 34925:  # LZMA2 (GDAL COMPRESS=LZMA)
+        import lzma
+
+        return lzma.decompress(data)
+    if method in (50000, 34926):  # ZSTD (official + deprecated code)
+        try:
+            import zstandard
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "TIFF ZSTD compression needs the zstandard package"
+            ) from exc
+        return zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=expected
+        )
     raise NotImplementedError(f"TIFF compression {method}")
 
 
@@ -222,16 +261,29 @@ def read_geotiff(path: str) -> GeoTiff:
     }[(fmt, bps)]
     dtype = np.dtype(dtype).newbyteorder(e)
 
+    jpeg_tables = tags.get(_JPEG_TABLES, [b""])[0] if comp == 7 else None
+
+    def decode(raw: bytes, nrows: int, ncols: int) -> np.ndarray:
+        """One tile/strip → (nrows, ncols, spp) array of ``dtype``."""
+        if comp == 7:  # new-style JPEG (lossy; PIL returns RGB for YCbCr)
+            return _jpeg_decode(raw, jpeg_tables)[:nrows, :ncols]
+        if comp == 50001:  # WebP-in-TIFF (GDAL COMPRESS=WEBP)
+            return _jpeg_decode(raw, None)[:nrows, :ncols]
+        out = _decompress(raw, comp, nrows * ncols * spp * dtype.itemsize)
+        block = np.frombuffer(out, dtype, nrows * ncols * spp).reshape(
+            nrows, ncols, spp
+        )
+        if predictor == 2:
+            block = np.cumsum(block.astype(np.int64), axis=1).astype(dtype)
+        return block
+
     img = np.zeros((h, w, spp), dtype)
     if _TILE_OFFSETS in tags:
         tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
         offs, cnts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
         tiles_across = -(-w // tw)
         for ti, (o, cnt) in enumerate(zip(offs, cnts)):
-            raw = _decompress(data[o : o + cnt], comp, tw * tl * spp * dtype.itemsize)
-            tile = np.frombuffer(raw, dtype, tw * tl * spp).reshape(tl, tw, spp)
-            if predictor == 2:
-                tile = np.cumsum(tile.astype(np.int64), axis=1).astype(dtype)
+            tile = decode(data[o : o + cnt], tl, tw)
             ty, tx = (ti // tiles_across) * tl, (ti % tiles_across) * tw
             img[ty : ty + tl, tx : tx + tw] = tile[
                 : max(0, min(tl, h - ty)), : max(0, min(tw, w - tx))
@@ -242,11 +294,7 @@ def read_geotiff(path: str) -> GeoTiff:
         row = 0
         for o, cnt in zip(offs, cnts):
             nrows = min(rps, h - row)
-            raw = _decompress(data[o : o + cnt], comp, nrows * w * spp * dtype.itemsize)
-            strip = np.frombuffer(raw, dtype, nrows * w * spp).reshape(nrows, w, spp)
-            if predictor == 2:
-                strip = np.cumsum(strip.astype(np.int64), axis=1).astype(dtype)
-            img[row : row + nrows] = strip
+            img[row : row + nrows] = decode(data[o : o + cnt], nrows, w)
             row += nrows
 
     gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)

@@ -1,6 +1,7 @@
 """Shapefile + GeoTIFF round-trips and reference I/O semantics."""
 
 import numpy as np
+import pytest
 
 from deepmerge_tpu.geodata.geotiff import GeoTiff, read_geotiff, write_geotiff
 from deepmerge_tpu.geodata.shapefile import (
@@ -224,6 +225,80 @@ def test_geotiff_lzw_read(tmp_path, rng):
     p = tmp_path / "lzw.tif"
     p.write_bytes(raw)
     out = read_geotiff(str(p))
+    np.testing.assert_array_equal(out.array, img)
+
+
+def test_geotiff_lzma_read(tmp_path, rng):
+    """LZMA (34925) — GDAL COMPRESS=LZMA; decoded with stdlib lzma."""
+    import lzma
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = (rng.rand(7, 13, 3) * 255).astype(np.uint8)
+    raw = _craft_tiff(img, 34925, lzma.compress(img.tobytes()))
+    p = tmp_path / "lzma.tif"
+    p.write_bytes(raw)
+    np.testing.assert_array_equal(read_geotiff(str(p)).array, img)
+
+
+def test_geotiff_zstd_read(tmp_path, rng):
+    """ZSTD (50000) — GDAL COMPRESS=ZSTD."""
+    zstandard = pytest.importorskip("zstandard")
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = (rng.rand(10, 6, 3) * 255).astype(np.uint8)
+    payload = zstandard.ZstdCompressor().compress(img.tobytes())
+    raw = _craft_tiff(img, 50000, payload)
+    p = tmp_path / "zstd.tif"
+    p.write_bytes(raw)
+    np.testing.assert_array_equal(read_geotiff(str(p)).array, img)
+
+
+def test_geotiff_jpeg_read(tmp_path, rng):
+    """JPEG-in-TIFF (7) produced by an INDEPENDENT writer (Pillow/libtiff,
+    which emits shared JPEGTables + abbreviated per-strip streams — the
+    layout GDAL also writes for COMPRESS=JPEG aerial mosaics)."""
+    Image = pytest.importorskip("PIL.Image")
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = np.zeros((48, 64, 3), np.uint8)
+    img[:, :32] = (40, 90, 200)
+    img[24:, 32:] = (220, 60, 10)
+    p = tmp_path / "jpeg.tif"
+    Image.fromarray(img).save(str(p), compression="jpeg", quality=95)
+    out = read_geotiff(str(p))
+    assert out.meta["compression"] == 7
+    assert out.array.shape == img.shape
+    # lossy codec: flat-color blocks must round-trip within JPEG error
+    assert np.abs(out.array.astype(int) - img.astype(int)).max() <= 12
+    # and our decode must agree with Pillow's own whole-file decode
+    theirs = np.asarray(Image.open(str(p)))
+    np.testing.assert_array_equal(out.array, theirs)
+
+
+def test_geotiff_webp_read(tmp_path, rng):
+    """WebP-in-TIFF (50001) — GDAL COMPRESS=WEBP."""
+    Image = pytest.importorskip("PIL.Image")
+
+    import io
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = np.zeros((32, 40, 3), np.uint8)
+    img[:16] = (10, 180, 30)
+    img[16:] = (200, 20, 120)
+    # TIFF-WebP stores one complete RIFF/WebP bitstream per strip/tile —
+    # encode the strip with Pillow's WebP codec and craft the TIFF shell
+    # (this libtiff build can't WRITE compression 50001 itself)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="WEBP", lossless=True)
+    raw = _craft_tiff(img, 50001, buf.getvalue())
+    p = tmp_path / "webp.tif"
+    p.write_bytes(raw)
+    out = read_geotiff(str(p))
+    assert out.meta["compression"] == 50001
     np.testing.assert_array_equal(out.array, img)
 
 
