@@ -7,6 +7,7 @@ The reference has no CLI at all — every hyperparameter is edited in source
   extract            extract + score + merge one scene folder
   process-folder     multi-scene batch (ExtractFeatures.py:241-303 analog)
   export-synthetic   write a synthetic scene in the reference file layout
+  calibrate          pick merge.threshold on a labeled validation scene
   import-ckpt        convert a reference torch .pth checkpoint to .msgpack
   export-ckpt        convert a TPU checkpoint to a reference-loadable .pth
   config             print the resolved config
@@ -18,6 +19,25 @@ import argparse
 import sys
 
 from deepmerge_tpu.config import Config, apply_overrides
+
+
+def _majority_object_per_region(labels, objects, num_regions):
+    """(R,) majority ground-truth object id per superpixel region.
+
+    Sparse mode-per-region: count unique (region, object) pixel pairs, then
+    assign in ascending-count order so each region keeps its largest. Stays
+    O(unique pairs) — a dense (R, n_objects) table would blow up on real
+    mosaics with 100k regions.
+    """
+    import numpy as np
+
+    lab = np.asarray(labels).ravel().astype(np.int64)
+    uniq, inv = np.unique(np.asarray(objects).ravel(), return_inverse=True)
+    key, counts = np.unique(lab * len(uniq) + inv, return_counts=True)
+    best = np.zeros(num_regions, np.int64)
+    order = np.argsort(counts, kind="stable")
+    best[key[order] // len(uniq)] = key[order] % len(uniq)
+    return uniq[best]
 
 
 def main(argv=None):
@@ -62,6 +82,18 @@ def main(argv=None):
     p_syn.add_argument("--regions", type=int, default=200)
     p_syn.add_argument("--objects", type=int, default=24)
     p_syn.add_argument("--seed", type=int, default=0)
+
+    p_cal = sub.add_parser("calibrate")
+    p_cal.add_argument("--image", required=True)
+    p_cal.add_argument("--polygons", required=True)
+    p_cal.add_argument("--points", required=True)
+    p_cal.add_argument("--lines")
+    p_cal.add_argument("--labels", required=True,
+                       help="superpixel label map .npy of the scene")
+    p_cal.add_argument("--objects", required=True,
+                       help="ground-truth OBJECT map .npy (pixel-level)")
+    p_cal.add_argument("--checkpoint-dir")
+    p_cal.add_argument("overrides", nargs="*", default=[])
 
     p_imp = sub.add_parser("import-ckpt")
     p_imp.add_argument("pth", help="reference torch checkpoint (.pth)")
@@ -147,6 +179,9 @@ def main(argv=None):
         labels_path = os.path.join(args.out, f"{scene.name}_labels.npy")
         np.save(labels_path, scene.labels)
         paths["labels"] = labels_path
+        objects_path = os.path.join(args.out, f"{scene.name}_objects.npy")
+        np.save(objects_path, scene.object_of_region[scene.labels])
+        paths["objects"] = objects_path
         for k, v in paths.items():
             print(f"{k}: {v}")
         return 0
@@ -222,6 +257,41 @@ def main(argv=None):
 
                 written = save_label_map(args.out_png, label_map, scene.image)
                 print(f"visualization -> {written}")
+        return 0
+
+    if args.cmd == "calibrate":
+        # The reference stops at scored edges and leaves thresholding to
+        # downstream tooling (ExtractFeatures.py:150-225), so the merge
+        # threshold is this framework's own deployment surface: sweep it
+        # on a labeled validation scene instead of hand-picking.
+        import numpy as np
+
+        from deepmerge_tpu.geodata.ingest import load_scene
+        from deepmerge_tpu.infer.calibrate import calibrate_threshold
+        from deepmerge_tpu.infer.driver import load_params
+        from deepmerge_tpu.infer.extract import FeatureExtractor
+
+        labels = np.load(args.labels)
+        objects = np.load(args.objects)
+        scene = load_scene(args.image, args.polygons, args.points,
+                           args.lines, labels=labels)
+        region_objects = _majority_object_per_region(
+            labels, objects, scene.regions.num_regions
+        )
+        model, params, bs = load_params(cfg, args.checkpoint_dir)
+        extractor = FeatureExtractor(
+            model, params,
+            batch_stats=dict(bs) if bs else None,
+            batch_size=min(cfg.data.eval_batch_size,
+                           scene.regions.num_points),
+        )
+        emb = extractor.extract_scene(scene, cfg.data)
+        cal = calibrate_threshold(
+            scene, emb, region_objects=region_objects,
+            max_rounds=cfg.merge.max_rounds,
+        )
+        print(cal)
+        print(f"override: merge.threshold={cal.threshold:.6f}")
         return 0
 
     if args.cmd == "process-folder":

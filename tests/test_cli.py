@@ -1,0 +1,54 @@
+"""End-to-end CLI drives (tiny model, CPU).
+
+The calibrate subcommand is this framework's own deployment surface: the
+reference stops at scored edges (``ExtractFeatures.py:150-225``) and the
+merge threshold is hand-picked downstream — here it is swept on a labeled
+validation scene instead.
+"""
+
+import numpy as np
+
+from deepmerge_tpu.__main__ import _majority_object_per_region, main
+
+TINY = [
+    "model.embed_dim=64", "model.depth=1,1,1", "model.num_heads=4",
+    "model.out_dim=16", "model.dtype=float32",
+    "model.input_image_scales=16,32,64", "data.patch_sizes=16,32,64",
+    "data.eval_batch_size=16", "data.max_window=256",
+]
+
+
+def test_majority_object_per_region():
+    labels = np.array([[0, 0, 1], [0, 1, 1]])
+    objects = np.array([[5, 5, 9], [7, 9, 5]])
+    out = _majority_object_per_region(labels, objects, 2)
+    assert out.tolist() == [5, 9]
+
+
+def test_majority_object_tie_is_deterministic():
+    labels = np.zeros((2, 2), np.int32)
+    objects = np.array([[3, 3], [8, 8]])
+    out = _majority_object_per_region(labels, objects, 1)
+    assert out.shape == (1,) and out[0] in (3, 8)
+
+
+def test_calibrate_cli(tmp_path, capsys):
+    out = tmp_path / "scene"
+    assert main([
+        "export-synthetic", "--out", str(out), "--size", "96",
+        "--regions", "24", "--objects", "6", "--seed", "3",
+    ]) == 0
+    assert (out / "synthetic_objects.npy").exists()
+    assert main([
+        "calibrate",
+        "--image", str(out / "synthetic.tif"),
+        "--polygons", str(out / "synthetic.shp"),
+        "--points", str(out / "synthetic" / "PointsGCS.shp"),
+        "--lines", str(out / "synthetic" / "lines.shp"),
+        "--labels", str(out / "synthetic_labels.npy"),
+        "--objects", str(out / "synthetic_objects.npy"),
+        *TINY,
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "calibrated threshold" in text
+    assert "override: merge.threshold=" in text
