@@ -211,11 +211,12 @@ def extract_multiscale_patches(
         off_y = _left_top(centers[:, 0], s) - y0a + pad
         off_x = _left_top(centers[:, 1], s) - px0a + pad
 
-        if quantize_uint8:
-            # EXACT reduced-pass path. INTER_AREA weights scaled by the
-            # window side s are small integers (≤ max(out, s) ≤ 256): both
-            # down (overlap·out) and up ((1−f)·s, f·s) coefficients — and
-            # uint8 pixels are integers ≤ 255 — so pass 1 runs as ONE bf16
+        if quantize_uint8 and cap <= 256:
+            # EXACT reduced-pass path — only sound for window sides
+            # s ≤ 256. INTER_AREA weights scaled by the window side s are
+            # small integers (≤ max(out, s) ≤ 256, bf16-exact): both down
+            # (overlap·out) and up ((1−f)·s, f·s) coefficients — and uint8
+            # pixels are integers ≤ 255 — so pass 1 runs as ONE bf16
             # matmul with every product (≤ 2^16) and f32-accumulated sum
             # (≤ s·255 < 2^24) exact, instead of 3-pass Precision.HIGH on
             # f32 windows (2× the operand traffic). Pass 2 keeps its
@@ -223,7 +224,12 @@ def extract_multiscale_patches(
             # ≤18-bit integers is exact and its 3 accumulation passes stay
             # inside one kernel (a round+frac 2-einsum split was measured
             # SLOWER: two full memory-traffic matmuls beat 3 in-kernel
-            # passes — BENCH.md round 3). One divide by s² at the end.
+            # passes — BENCH.md round 3). One divide by s² at the end,
+            # with an integer tie-correction so rounding is exactly
+            # floor(x2/s² + ½) and not at the mercy of the f32 reciprocal.
+            # Beyond s = 256 the invariants break (scaled weights stop
+            # being bf16-exact; Σ ≤ s²·255 passes 2^24), so larger caps
+            # take the 3-pass HIGH fallback below.
             kr = jax.vmap(
                 lambda sc, off: resize_weights(out, win_rows, sc, off)
                 * sc.astype(jnp.float32)
@@ -243,9 +249,15 @@ def extract_multiscale_patches(
                 "bpj,bojc->bopc", kc, x1,
                 precision=hi_prec, preferred_element_type=jnp.float32,
             )
-            inv2 = 1.0 / (s.astype(jnp.float32) ** 2)
-            x = jnp.floor(x2 * inv2[:, None, None, None] + 0.5) / 255.0
-            return x.astype(out_dtype)
+            s2 = (s.astype(jnp.float32) ** 2)[:, None, None, None]
+            k = jnp.floor(x2 / s2 + 0.5)
+            # exact tie-correction: x2, k·s² and their difference are all
+            # exact f32 integers here (≤ 2^24 for s ≤ 256), so adjusting k
+            # by the sign tests below lands exactly on floor(x2/s² + ½)
+            d2 = 2.0 * (x2 - k * s2)
+            k = k + (d2 >= s2).astype(jnp.float32)
+            k = k - (d2 < -s2).astype(jnp.float32)
+            return (k / 255.0).astype(out_dtype)
 
         windows = windows.reshape(-1, win_rows, win_px, c).astype(jnp.float32)
         wr = jax.vmap(lambda sc, off: resize_weights(out, win_rows, sc, off))(
@@ -263,6 +275,8 @@ def extract_multiscale_patches(
             "bpj,bojc->bopc", wc, x,
             precision=hi_prec, preferred_element_type=jnp.float32,
         )
+        if quantize_uint8:  # cap > 256: HIGH fallback, same cv2 rounding
+            x = jnp.floor(x + 0.5)
         return (x / 255.0).astype(out_dtype)
 
     def chunk_fn(args):

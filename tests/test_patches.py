@@ -102,3 +102,35 @@ def test_scale_clamp_warns(tiny_data_cfg):
         ds = stage_scene(scene, cfg)
     assert any("clamped" in str(x.message) for x in w)
     assert max(ds.caps) == 128
+
+
+def test_patches_match_oracle_large_windows(rng):
+    """Window sides past 256 must stay LSB-accurate vs cv2.
+
+    The exact reduced-pass resize is only sound for s <= 256 (scaled
+    integer weights stop being bf16-exact and the f32 accumulator passes
+    2^24 beyond that), so a cap > 256 slot must take the 3-pass HIGH
+    fallback — this pins the flagship's (128, 256, 512) cap ladder against
+    the oracle at window sides up to 400.
+    """
+    h, w = 560, 560
+    image = (np.random.RandomState(11).rand(h, w, 3) * 255).astype(np.uint8)
+    sizes = (32, 64, 128)
+    caps = (128, 256, 512)
+    padded = pad_scene(image, caps)
+    pts = np.array([[280, 280], [220, 330], [300, 250]], np.int32)
+    inner = np.array([100, 90, 120], np.int32)
+    obj = np.array([250, 240, 256], np.int32)  # "scene" slot: 372..400
+    scales, _ = adaptive_scales(inner, obj, tuple(sizes) + (1,))
+    assert int(np.asarray(scales)[:, 2].max()) > 256
+
+    ours = extract_multiscale_patches(
+        padded, pts, scales, sizes, caps=caps, chunk=3, out_channels=3
+    )
+    for b in range(len(pts)):
+        ref, _, _ = ref_patches(image, pts[b], inner[b], obj[b], sizes)
+        for slot in range(len(sizes)):
+            got = np.asarray(ours[slot][b])
+            assert (
+                np.abs(got * 255 - ref[slot] * 255).max() <= 1.001
+            ), f"large-window point {b} slot {slot}"
