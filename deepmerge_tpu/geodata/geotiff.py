@@ -6,7 +6,8 @@ image, so this module implements the raster subset the pipeline needs:
 
   * classic TIFF (magic 42) AND BigTIFF (magic 43, 8-byte offsets — the
     common container for real remote-sensing mosaics), little- or big-endian
-  * uint8/uint16/int16/uint32/float32, striped or tiled
+  * uint8/uint16/int16/uint32/float32, striped or tiled, pixel-interleaved
+    (PlanarConfiguration=1) or band-interleaved (=2, GDAL INTERLEAVE=BAND)
   * compression: none(1), Deflate(8/32946), PackBits(32773), LZW(5),
     LZMA(34925), ZSTD(50000/34926, via the zstandard package), and the
     lossy image codecs JPEG(7, incl. shared JPEGTables) and WebP(50001)
@@ -253,8 +254,8 @@ def read_geotiff(path: str) -> GeoTiff:
     fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
     planar = tags.get(_PLANAR_CONFIG, [1])[0]
     predictor = tags.get(_PREDICTOR, [1])[0]
-    if planar != 1:
-        raise NotImplementedError("planar TIFF not supported")
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
     dtype = {
         (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
         (2, 16): np.int16, (2, 32): np.int32, (3, 32): np.float32,
@@ -263,15 +264,20 @@ def read_geotiff(path: str) -> GeoTiff:
 
     jpeg_tables = tags.get(_JPEG_TABLES, [b""])[0] if comp == 7 else None
 
+    # PlanarConfiguration=2 (GDAL INTERLEAVE=BAND): every strip/tile holds
+    # ONE sample plane, blocks ordered all-of-band-0 first (TIFF 6.0 §"
+    # PlanarConfiguration"); each block therefore carries 1 sample/pixel.
+    bspp = 1 if planar == 2 else spp
+
     def decode(raw: bytes, nrows: int, ncols: int) -> np.ndarray:
-        """One tile/strip → (nrows, ncols, spp) array of ``dtype``."""
+        """One tile/strip → (nrows, ncols, bspp) array of ``dtype``."""
         if comp == 7:  # new-style JPEG (lossy; PIL returns RGB for YCbCr)
             return _jpeg_decode(raw, jpeg_tables)[:nrows, :ncols]
         if comp == 50001:  # WebP-in-TIFF (GDAL COMPRESS=WEBP)
             return _jpeg_decode(raw, None)[:nrows, :ncols]
-        out = _decompress(raw, comp, nrows * ncols * spp * dtype.itemsize)
-        block = np.frombuffer(out, dtype, nrows * ncols * spp).reshape(
-            nrows, ncols, spp
+        out = _decompress(raw, comp, nrows * ncols * bspp * dtype.itemsize)
+        block = np.frombuffer(out, dtype, nrows * ncols * bspp).reshape(
+            nrows, ncols, bspp
         )
         if predictor == 2:
             block = np.cumsum(block.astype(np.int64), axis=1).astype(dtype)
@@ -282,20 +288,33 @@ def read_geotiff(path: str) -> GeoTiff:
         tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
         offs, cnts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
         tiles_across = -(-w // tw)
-        for ti, (o, cnt) in enumerate(zip(offs, cnts)):
+        tiles_per_band = tiles_across * (-(-h // tl)) if planar == 2 else None
+        for idx, (o, cnt) in enumerate(zip(offs, cnts)):
+            if planar == 2:
+                band, ti = divmod(idx, tiles_per_band)
+                bands = slice(band, band + 1)
+            else:
+                ti, bands = idx, slice(None)
             tile = decode(data[o : o + cnt], tl, tw)
             ty, tx = (ti // tiles_across) * tl, (ti % tiles_across) * tw
-            img[ty : ty + tl, tx : tx + tw] = tile[
+            img[ty : ty + tl, tx : tx + tw, bands] = tile[
                 : max(0, min(tl, h - ty)), : max(0, min(tw, w - tx))
             ]
     else:
         rps = tags.get(_ROWS_PER_STRIP, [h])[0]
         offs, cnts = tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]
-        row = 0
-        for o, cnt in zip(offs, cnts):
+        strips_per_band = -(-h // rps)
+        for idx, (o, cnt) in enumerate(zip(offs, cnts)):
+            if planar == 2:
+                band, si = divmod(idx, strips_per_band)
+                bands = slice(band, band + 1)
+            else:
+                si, bands = idx, slice(None)
+            row = si * rps
             nrows = min(rps, h - row)
-            img[row : row + nrows] = decode(data[o : o + cnt], nrows, w)
-            row += nrows
+            img[row : row + nrows, :, bands] = decode(
+                data[o : o + cnt], nrows, w
+            )
 
     gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
     if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:

@@ -317,3 +317,135 @@ def test_shapefile_multipart_polygon_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(r.shapes[0].parts, [0, 5])
     np.testing.assert_allclose(r.shapes[0].points,
                                np.concatenate([ring1, ring2]), rtol=1e-12)
+
+
+def _craft_planar_tiff(
+    img: np.ndarray,
+    *,
+    rows_per_strip: int | None = None,
+    tile: int | None = None,
+    compressor=None,
+    predictor: int = 1,
+) -> bytes:
+    """Handcraft a PlanarConfiguration=2 (band-interleaved) TIFF.
+
+    Blocks are ordered all-of-band-0 first (TIFF 6.0) — GDAL's
+    INTERLEAVE=BAND layout. Either striped (``rows_per_strip``) or tiled
+    (``tile``, square, multiple of 16; partial edge tiles padded to full
+    size as the spec requires). Optional per-block ``compressor`` and
+    horizontal-difference predictor 2.
+    """
+    import struct
+
+    h, w, c = img.shape
+    compression = 1 if compressor is None else 8
+
+    def encode_plane_block(block: np.ndarray) -> bytes:
+        # block: (rows, cols) of ONE band
+        if predictor == 2:
+            b16 = block.astype(np.int16)
+            block = np.concatenate(
+                [b16[:, :1], np.diff(b16, axis=1)], axis=1
+            ).astype(np.uint8)
+        raw = block.tobytes()
+        return compressor(raw) if compressor else raw
+
+    payloads: list[bytes] = []
+    if tile is None:
+        rps = rows_per_strip or h
+        for band in range(c):
+            for row in range(0, h, rps):
+                payloads.append(
+                    encode_plane_block(img[row : row + rps, :, band])
+                )
+    else:
+        for band in range(c):
+            for ty in range(0, h, tile):
+                for tx in range(0, w, tile):
+                    blk = np.zeros((tile, tile), np.uint8)
+                    part = img[ty : ty + tile, tx : tx + tile, band]
+                    blk[: part.shape[0], : part.shape[1]] = part
+                    payloads.append(encode_plane_block(blk))
+
+    n = 11 if tile is None else 12
+    header = 8
+    ifd_size = 2 + n * 12 + 4
+    extra: list[bytes] = []
+    extra_off = header + ifd_size
+
+    def add_extra(b: bytes) -> int:
+        nonlocal extra_off
+        off = extra_off
+        extra.append(b)
+        extra_off += len(b)
+        return off
+
+    def e(tag, typ, count, val):
+        if typ == 3 and count == 1:
+            return struct.pack("<HHIHH", tag, typ, count, val, 0)
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    bps_off = add_extra(struct.pack(f"<{c}H", *([8] * c)))
+    counts = [len(p) for p in payloads]
+    cnt_off = add_extra(struct.pack(f"<{len(counts)}I", *counts))
+    off_pos = add_extra(struct.pack(f"<{len(counts)}I", *([0] * len(counts))))
+    data_start = extra_off
+    offs = []
+    pos = data_start
+    for cn in counts:
+        offs.append(pos)
+        pos += cn
+    extra[-1] = struct.pack(f"<{len(offs)}I", *offs)
+
+    entries = [
+        e(256, 4, 1, w), e(257, 4, 1, h), e(258, 3, c, bps_off),
+        e(259, 3, 1, compression), e(262, 3, 1, 2),
+        e(277, 3, 1, c), e(284, 3, 1, 2), e(317, 3, 1, predictor),
+    ]
+    if tile is None:
+        entries += [
+            e(273, 4, len(offs), off_pos),
+            e(278, 4, 1, rows_per_strip or h),
+            e(279, 4, len(counts), cnt_off),
+        ]
+        entries.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
+        assert len(entries) == n
+    else:
+        entries += [
+            e(322, 4, 1, tile), e(323, 4, 1, tile),
+            e(324, 4, len(offs), off_pos), e(325, 4, len(counts), cnt_off),
+        ]
+        entries.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
+        assert len(entries) == n
+    return (
+        b"II" + np.uint16(42).tobytes() + np.uint32(8).tobytes()
+        + np.uint16(n).tobytes() + b"".join(entries)
+        + np.uint32(0).tobytes() + b"".join(extra) + b"".join(payloads)
+    )
+
+
+def test_geotiff_planar_striped_read(tmp_path, rng):
+    """Band-interleaved (PlanarConfiguration=2) striped TIFF — GDAL's
+    INTERLEAVE=BAND layout — with deflate + predictor 2 per band plane."""
+    import zlib
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = (rng.rand(13, 11, 3) * 255).astype(np.uint8)
+    raw = _craft_planar_tiff(
+        img, rows_per_strip=5, compressor=zlib.compress, predictor=2
+    )
+    p = tmp_path / "planar.tif"
+    p.write_bytes(raw)
+    np.testing.assert_array_equal(read_geotiff(str(p)).array, img)
+
+
+def test_geotiff_planar_tiled_read(tmp_path, rng):
+    """Band-interleaved TILED TIFF with partial edge tiles."""
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = (rng.rand(24, 20, 4) * 255).astype(np.uint8)
+    raw = _craft_planar_tiff(img, tile=16)
+    p = tmp_path / "planar_tiled.tif"
+    p.write_bytes(raw)
+    np.testing.assert_array_equal(read_geotiff(str(p)).array, img)
