@@ -56,6 +56,16 @@ def main(argv=None):
     p_train.add_argument("--epochs", type=int)
     p_train.add_argument("--max-steps", type=int)
     p_train.add_argument("--mesh", action="store_true")
+    p_train.add_argument(
+        "--pos-pairs",
+        help="positive pair txt file or folder (the reference's "
+        "PositiveData layout) — use with real scenes that have no "
+        "ground-truth object map",
+    )
+    p_train.add_argument(
+        "--neg-pairs",
+        help="negative pair txt file or folder (reference NegativeData)",
+    )
     p_train.add_argument("overrides", nargs="*", default=[])
 
     p_ex = sub.add_parser("extract")
@@ -209,8 +219,16 @@ def main(argv=None):
                 os.path.join(args.scene_dir, name, "lines.shp"),
                 name=name,
             )
-        train(cfg, scene=scene, use_mesh=args.mesh,
-              max_steps_per_epoch=args.max_steps)
+        pos_pairs = neg_pairs = None
+        if args.pos_pairs or args.neg_pairs:
+            if not (args.pos_pairs and args.neg_pairs):
+                parser.error("--pos-pairs and --neg-pairs go together")
+            from deepmerge_tpu.geodata.pairgen import read_pair_source
+
+            pos_pairs = read_pair_source(args.pos_pairs, args.scene_name)
+            neg_pairs = read_pair_source(args.neg_pairs, args.scene_name)
+        train(cfg, scene=scene, pos_pairs=pos_pairs, neg_pairs=neg_pairs,
+              use_mesh=args.mesh, max_steps_per_epoch=args.max_steps)
         return 0
 
     if args.cmd == "extract":

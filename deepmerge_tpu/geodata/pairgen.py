@@ -48,6 +48,28 @@ def scan_pair_folder(folder: str) -> tuple[int, int]:
     return len(files), total
 
 
+def read_pair_source(path: str, scene_name: str | None = None) -> np.ndarray:
+    """Load pairs from a txt file OR a reference-style pair folder.
+
+    A folder is the reference's ``PositiveData``/``NegativeData`` layout
+    (one txt per scene, ``MyUtils1.py:236-258``): when ``scene_name`` names
+    a ``<scene_name>.txt`` inside it, only that scene's pairs load (region
+    ids are per-scene); otherwise every ``.txt`` in the folder concatenates.
+    """
+    if os.path.isdir(path):
+        named = os.path.join(path, f"{scene_name}.txt") if scene_name else None
+        if named and os.path.exists(named):
+            return read_pair_file(named)
+        files = [
+            os.path.join(path, f) for f in sorted(os.listdir(path))
+            if f.endswith(".txt")
+        ]
+        if not files:
+            raise FileNotFoundError(f"no pair .txt files in {path}")
+        return np.concatenate([read_pair_file(f) for f in files], axis=0)
+    return read_pair_file(path)
+
+
 def export_training_pairs(scene: Scene, out_dir: str) -> tuple[str, str]:
     """Write positive/negative pair txts for a scene with ground truth
     (the reference's PositiveData/NegativeData folders)."""

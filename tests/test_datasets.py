@@ -39,6 +39,30 @@ def test_scan_pair_folder(tmp_path):
     assert total + len(read_pair_file(np_)) == scene.rag.num_edges
 
 
+def test_read_pair_source(tmp_path):
+    """File, per-scene folder pick, and whole-folder concat semantics."""
+    from deepmerge_tpu.geodata.pairgen import read_pair_source
+
+    a = np.array([[1, 2], [3, 4]], np.int32)
+    b = np.array([[5, 6]], np.int32)
+    folder = tmp_path / "PositiveData"
+    folder.mkdir()
+    write_pair_file(str(folder / "sceneA.txt"), a)
+    write_pair_file(str(folder / "sceneB.txt"), b)
+    # plain file
+    np.testing.assert_array_equal(
+        read_pair_source(str(folder / "sceneA.txt")), a
+    )
+    # folder + scene_name -> only that scene's txt
+    np.testing.assert_array_equal(
+        read_pair_source(str(folder), scene_name="sceneB"), b
+    )
+    # folder without a matching name -> concat all (sorted by filename)
+    np.testing.assert_array_equal(
+        read_pair_source(str(folder)), np.concatenate([a, b])
+    )
+
+
 def test_triplet_generation_and_roundtrip(tmp_path):
     labels = np.array([0, 0, 1, 1, 2, 2, 2])
     ids = np.arange(7) * 10
