@@ -78,6 +78,11 @@ def main(argv=None):
     p_ex.add_argument("--labels", help="synthetic-layout labels .npy (optional)")
     p_ex.add_argument("--out-labels", help="write merged label map GeoTIFF here")
     p_ex.add_argument("--out-png", help="write colorized merged map PNG here")
+    p_ex.add_argument(
+        "--deep-pixels", choices=("error", "shift", "clip"), default="error",
+        help="handling for >8-bit rasters (uint16 etc.): refuse, drop low "
+        "bits, or clamp",
+    )
     p_ex.add_argument("overrides", nargs="*", default=[])
 
     p_pf = sub.add_parser("process-folder")
@@ -246,6 +251,7 @@ def main(argv=None):
                 "map); without it the merged map would be meaningless"
             )
         scene = load_scene(args.image, args.polygons, args.points, args.lines,
+                           deep_pixels=args.deep_pixels,
                            labels=labels)
         model, params, bs = load_params(cfg, args.checkpoint_dir)
         emb, simi, result = process_scene(

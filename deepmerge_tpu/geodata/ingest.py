@@ -47,9 +47,34 @@ def load_scene(
     lines_path: str | None = None,
     labels: np.ndarray | None = None,
     name: str | None = None,
+    deep_pixels: str = "error",
 ) -> Scene:
-    """Assemble a Scene from the reference's file layout."""
+    """Assemble a Scene from the reference's file layout.
+
+    ``deep_pixels`` controls rasters deeper than 8 bits (the reference was
+    only ever run on uint8 RGB — its ``/255`` normalization,
+    ``MyUtils1.py:215``): ``"error"`` (default) refuses instead of silently
+    wrapping values modulo 256; ``"shift"`` maps the full deeper range onto
+    uint8 by dropping low bits (uint16 → high byte, the standard 16→8-bit
+    downscale); ``"clip"`` clamps to [0, 255] (for data already in 8-bit
+    range stored in a wider type).
+    """
     tif = read_geotiff(image_path)
+    arr = tif.array
+    if arr.dtype != np.uint8:
+        if deep_pixels == "shift":
+            info = np.iinfo(arr.dtype) if arr.dtype.kind in "iu" else None
+            if info is not None and info.max > 255:
+                arr = (arr.astype(np.uint32) >> (info.bits - 8))
+            arr = np.clip(arr, 0, 255)
+        elif deep_pixels == "clip":
+            arr = np.clip(arr, 0, 255)
+        else:
+            raise ValueError(
+                f"{image_path}: {arr.dtype} raster; the pipeline (like the "
+                "reference's /255 normalization) expects uint8 — pass "
+                "deep_pixels='shift' (drop low bits) or 'clip'"
+            )
     polys = ShapefileTable.read(polygon_path)
     pts = ShapefileTable.read(points_path)
 
@@ -113,7 +138,7 @@ def load_scene(
     if labels is None:
         labels = np.zeros(tif.array.shape[:2], np.int32)
     return Scene(
-        image=np.ascontiguousarray(tif.array[..., :3]).astype(np.uint8),
+        image=np.ascontiguousarray(arr[..., :3]).astype(np.uint8),
         labels=labels,
         regions=regions,
         rag=EdgeList(edges=edges),

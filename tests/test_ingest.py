@@ -148,3 +148,43 @@ def test_edge_pair_dataset_single_scene(tmp_path):
     assert name == "solo"
     loaded = ds.load_scene("solo")
     assert loaded.regions.num_regions == 8
+
+
+def test_deep_pixels_uint16(tmp_path):
+    """uint16 rasters refuse by default (no silent mod-256 wrap) and map to
+    the high byte under deep_pixels='shift'."""
+    import pytest
+    import struct
+
+    scene = generate_scene(h=64, w=64, n_regions=8, n_objects=3, seed=5)
+    paths = export_scene(scene, str(tmp_path))
+
+    # rewrite the raster as uint16 = pixel * 256 + noise-in-low-byte
+    img16 = scene.image.astype(np.uint16) * 256 + 7
+    h, w, c = img16.shape
+    payload = img16.astype("<u2").tobytes()
+    n = 9
+    data_off = 8 + 2 + n * 12 + 4
+
+    def e(tag, typ, count, val):
+        if typ == 3:
+            return struct.pack("<HHIHH", tag, typ, count, val, 0)
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    entries = [
+        e(256, 4, 1, w), e(257, 4, 1, h), e(258, 3, 1, 16),
+        e(259, 3, 1, 1), e(262, 3, 1, 2), e(273, 4, 1, data_off),
+        e(277, 3, 1, c), e(278, 4, 1, h), e(279, 4, 1, len(payload)),
+    ]
+    p16 = tmp_path / "scene16.tif"
+    p16.write_bytes(
+        b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", n)
+        + b"".join(entries) + struct.pack("<I", 0) + payload
+    )
+
+    with pytest.raises(ValueError, match="uint8"):
+        load_scene(str(p16), paths["polygons"], paths["points"],
+                   paths["lines"])
+    loaded = load_scene(str(p16), paths["polygons"], paths["points"],
+                        paths["lines"], deep_pixels="shift")
+    np.testing.assert_array_equal(loaded.image, scene.image)
