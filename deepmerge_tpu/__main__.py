@@ -89,6 +89,10 @@ def main(argv=None):
     p_pf.add_argument("--images", required=True)
     p_pf.add_argument("--shapefiles", required=True)
     p_pf.add_argument("--checkpoint-dir")
+    p_pf.add_argument(
+        "--deep-pixels", choices=("error", "shift", "clip"), default="error",
+        help="handling for >8-bit rasters (uint16 etc.)",
+    )
     p_pf.add_argument("overrides", nargs="*", default=[])
 
     p_syn = sub.add_parser("export-synthetic")
@@ -108,6 +112,10 @@ def main(argv=None):
     p_cal.add_argument("--objects", required=True,
                        help="ground-truth OBJECT map .npy (pixel-level)")
     p_cal.add_argument("--checkpoint-dir")
+    p_cal.add_argument(
+        "--deep-pixels", choices=("error", "shift", "clip"), default="error",
+        help="handling for >8-bit rasters (uint16 etc.)",
+    )
     p_cal.add_argument("overrides", nargs="*", default=[])
 
     p_imp = sub.add_parser("import-ckpt")
@@ -298,7 +306,8 @@ def main(argv=None):
         labels = np.load(args.labels)
         objects = np.load(args.objects)
         scene = load_scene(args.image, args.polygons, args.points,
-                           args.lines, labels=labels)
+                           args.lines, labels=labels,
+                           deep_pixels=args.deep_pixels)
         region_objects = _majority_object_per_region(
             labels, objects, scene.regions.num_regions
         )
@@ -322,7 +331,8 @@ def main(argv=None):
         from deepmerge_tpu.infer.driver import process_folder
 
         done = process_folder(cfg, args.images, args.shapefiles,
-                              args.checkpoint_dir)
+                              args.checkpoint_dir,
+                              deep_pixels=args.deep_pixels)
         print(f"processed {len(done)} scenes")
         return 0
 

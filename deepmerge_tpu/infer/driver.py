@@ -141,6 +141,7 @@ def process_folder(
     shp_folder: str,
     checkpoint_path: Optional[str] = None,
     log_fn=print,
+    deep_pixels: str = "error",
 ) -> list[str]:
     """Walk per-scene shapefile folders like the reference's multi-scene
     driver (``ExtractFeatures.py:241-303``): each subfolder holds
@@ -160,7 +161,8 @@ def process_folder(
         lines = os.path.join(sub, "lines.shp")
         h5 = os.path.join(sub, f"{cfg.model.name}_features.h5")
         try:
-            scene = load_scene(image, polygons, points, lines, name=entry)
+            scene = load_scene(image, polygons, points, lines, name=entry,
+                               deep_pixels=deep_pixels)
             log_fn(f"processing {entry} ({scene.regions.num_points} points)")
             process_scene(
                 cfg, scene, model, params, batch_stats,
