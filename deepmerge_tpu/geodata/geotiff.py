@@ -23,10 +23,18 @@ geo→pixel transform the reference applies, including its ``+1`` offset
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass, field
 
 import numpy as np
+
+try:  # C++ LZW/PackBits (GIL-released); pure-Python decoders are the fallback
+    from deepmerge_tpu.native import rastercodec as _native_codec
+
+    _HAVE_NATIVE = _native_codec.available()
+except Exception:  # pragma: no cover - toolchain missing
+    _HAVE_NATIVE = False
 
 # TIFF tag ids
 _IMAGE_WIDTH = 256
@@ -141,8 +149,12 @@ def _decompress(data: bytes, method: int, expected: int) -> bytes:
 
         return zlib.decompress(data)
     if method == 32773:
+        if _HAVE_NATIVE:
+            return _native_codec.unpackbits(data, expected)
         return _unpackbits(data, expected)
     if method == 5:
+        if _HAVE_NATIVE:
+            return _native_codec.lzw_decode(data, expected)
         return _lzw_decode(data, expected)
     if method == 34925:  # LZMA2 (GDAL COMPRESS=LZMA)
         import lzma
@@ -159,6 +171,26 @@ def _decompress(data: bytes, method: int, expected: int) -> bytes:
             data, max_output_size=expected
         )
     raise NotImplementedError(f"TIFF compression {method}")
+
+
+def _run_blocks(fn, jobs) -> None:
+    """Decode-and-place every strip/tile; thread pool when there are many.
+
+    Each job writes a disjoint region of the output array, so threads never
+    overlap; zlib/lzma and the native LZW/PackBits codecs all release the
+    GIL, which is where the parallelism comes from. Small block counts stay
+    serial (pool startup would dominate).
+    """
+    if len(jobs) >= 16 and os.environ.get("DEEPMERGE_TIFF_THREADS", "1") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(8, os.cpu_count() or 1, len(jobs))
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(fn, jobs))
+            return
+    for job in jobs:
+        fn(job)
 
 
 @dataclass
@@ -289,7 +321,9 @@ def read_geotiff(path: str) -> GeoTiff:
         offs, cnts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
         tiles_across = -(-w // tw)
         tiles_per_band = tiles_across * (-(-h // tl)) if planar == 2 else None
-        for idx, (o, cnt) in enumerate(zip(offs, cnts)):
+
+        def place_tile(job):
+            idx, o, cnt = job
             if planar == 2:
                 band, ti = divmod(idx, tiles_per_band)
                 bands = slice(band, band + 1)
@@ -300,11 +334,15 @@ def read_geotiff(path: str) -> GeoTiff:
             img[ty : ty + tl, tx : tx + tw, bands] = tile[
                 : max(0, min(tl, h - ty)), : max(0, min(tw, w - tx))
             ]
+
+        _run_blocks(place_tile, list(zip(range(len(offs)), offs, cnts)))
     else:
         rps = tags.get(_ROWS_PER_STRIP, [h])[0]
         offs, cnts = tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]
         strips_per_band = -(-h // rps)
-        for idx, (o, cnt) in enumerate(zip(offs, cnts)):
+
+        def place_strip(job):
+            idx, o, cnt = job
             if planar == 2:
                 band, si = divmod(idx, strips_per_band)
                 bands = slice(band, band + 1)
@@ -315,6 +353,8 @@ def read_geotiff(path: str) -> GeoTiff:
             img[row : row + nrows, :, bands] = decode(
                 data[o : o + cnt], nrows, w
             )
+
+        _run_blocks(place_strip, list(zip(range(len(offs)), offs, cnts)))
 
     gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
     if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:

@@ -18,6 +18,7 @@ _LOCK = threading.Lock()
 
 _EXTENSIONS = {
     "_unionfind": "unionfind.cpp",
+    "_rastercodec": "rastercodec.cpp",
 }
 
 
