@@ -101,6 +101,8 @@ def main(argv=None):
     p_syn.add_argument("--regions", type=int, default=200)
     p_syn.add_argument("--objects", type=int, default=24)
     p_syn.add_argument("--seed", type=int, default=0)
+    p_syn.add_argument("--compress", choices=["none", "deflate"],
+                       default="none", help="raster compression (writer)")
 
     p_cal = sub.add_parser("calibrate")
     p_cal.add_argument("--image", required=True)
@@ -194,7 +196,10 @@ def main(argv=None):
             h=args.size, w=args.size, n_regions=args.regions,
             n_objects=args.objects, seed=args.seed,
         )
-        paths = export_scene(scene, args.out)
+        paths = export_scene(
+            scene, args.out,
+            compression=None if args.compress == "none" else args.compress,
+        )
         import os
 
         import numpy as np

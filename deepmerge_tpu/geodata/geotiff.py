@@ -373,18 +373,42 @@ def write_geotiff(
     array: np.ndarray,
     geotransform: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
     bigtiff: bool = False,
+    compression: str | None = None,
+    rows_per_strip: int | None = None,
 ) -> None:
-    """Write an uncompressed striped uint8 GeoTIFF (little-endian).
+    """Write a striped uint8 GeoTIFF (little-endian).
 
     ``bigtiff=True`` writes the BigTIFF (magic 43, 8-byte offsets) layout —
     required once a mosaic crosses 4 GB, and the common real-world container
-    for large remote-sensing scenes.
+    for large remote-sensing scenes. ``compression`` may be ``None`` (one
+    uncompressed strip, the historical layout) or ``"deflate"`` (zlib per
+    strip, default 256 rows/strip — the GDAL ``COMPRESS=DEFLATE`` shape).
     """
     if array.ndim == 2:
         array = array[..., None]
     assert array.dtype == np.uint8, "writer supports uint8"
     h, w, c = array.shape
-    pixel_data = np.ascontiguousarray(array).tobytes()
+    array = np.ascontiguousarray(array)
+
+    if compression in (None, "none"):
+        comp_tag = 1
+        rps = rows_per_strip or h
+
+        def encode(b: bytes) -> bytes:
+            return b
+    elif compression == "deflate":
+        import zlib
+
+        comp_tag = 8
+        rps = rows_per_strip or min(h, 256)
+        encode = zlib.compress
+    else:
+        raise NotImplementedError(f"writer compression {compression!r}")
+    rps = max(1, min(rps, h))
+    strips = [
+        encode(array[r : r + rps].tobytes()) for r in range(0, h, rps)
+    ]
+    n_strips = len(strips)
 
     gt = geotransform
     scale = struct.pack("<3d", gt[1], -gt[5], 0.0)
@@ -394,11 +418,13 @@ def write_geotiff(
     if bigtiff:
         header_size = 16
         ifd_size = 8 + ifd_entries * 20 + 8
+        off_fmt, off_sz, off_typ = "<Q", 8, 16  # LONG8
     else:
         header_size = 8
         ifd_size = 2 + ifd_entries * 12 + 4
+        off_fmt, off_sz, off_typ = "<I", 4, 4   # LONG
     inline = 8 if bigtiff else 4
-    # layout: header | IFD | out-of-line values | pixel data
+    # layout: header | IFD | out-of-line values | strip data
     extra: list[bytes] = []
     extra_off = header_size + ifd_size
 
@@ -413,7 +439,22 @@ def write_geotiff(
     bps_off = add_extra(bps_vals) if len(bps_vals) > inline else None
     scale_off = add_extra(scale)
     tie_off = add_extra(tiepoint)
+    # strip offset/count arrays go out-of-line when they don't fit inline;
+    # their contents need data_off, which depends only on their SIZES
+    offs_inline = n_strips * off_sz <= inline
+    offs_arr_off = None if offs_inline else add_extra(b"\0" * (n_strips * off_sz))
+    cnts_arr_off = None if offs_inline else add_extra(b"\0" * (n_strips * off_sz))
     data_off = extra_off
+    strip_offs = []
+    pos = data_off
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    offs_bytes = b"".join(struct.pack(off_fmt, o) for o in strip_offs)
+    cnts_bytes = b"".join(struct.pack(off_fmt, len(s)) for s in strips)
+    if not offs_inline:
+        extra[-2] = offs_bytes
+        extra[-1] = cnts_bytes
 
     def entry(tag, typ, count, value, raw: bytes | None = None) -> bytes:
         """One IFD entry; ``raw`` = inline value bytes (padded), else
@@ -433,16 +474,22 @@ def write_geotiff(
         if bps_off is not None
         else entry(_BITS_PER_SAMPLE, 3, c, 0, raw=bps_vals)
     )
+    if offs_inline:
+        offs_entry = entry(_STRIP_OFFSETS, off_typ, n_strips, 0, raw=offs_bytes)
+        cnts_entry = entry(_STRIP_BYTE_COUNTS, off_typ, n_strips, 0, raw=cnts_bytes)
+    else:
+        offs_entry = entry(_STRIP_OFFSETS, off_typ, n_strips, offs_arr_off)
+        cnts_entry = entry(_STRIP_BYTE_COUNTS, off_typ, n_strips, cnts_arr_off)
     e = [
         entry(_IMAGE_WIDTH, 4, 1, w, raw=struct.pack("<I", w)),
         entry(_IMAGE_LENGTH, 4, 1, h, raw=struct.pack("<I", h)),
         bps_entry,
-        entry(_COMPRESSION, 3, 1, 0, raw=struct.pack("<H", 1)),
+        entry(_COMPRESSION, 3, 1, 0, raw=struct.pack("<H", comp_tag)),
         entry(_PHOTOMETRIC, 3, 1, 0, raw=struct.pack("<H", 2 if c >= 3 else 1)),
-        entry(_STRIP_OFFSETS, 16 if bigtiff else 4, 1, data_off),
+        offs_entry,
         entry(_SAMPLES_PER_PIXEL, 3, 1, 0, raw=struct.pack("<H", c)),
-        entry(_ROWS_PER_STRIP, 4, 1, h, raw=struct.pack("<I", h)),
-        entry(_STRIP_BYTE_COUNTS, 16 if bigtiff else 4, 1, len(pixel_data)),
+        entry(_ROWS_PER_STRIP, 4, 1, rps, raw=struct.pack("<I", rps)),
+        cnts_entry,
         entry(_MODEL_PIXEL_SCALE, 12, 3, scale_off),
         entry(_MODEL_TIEPOINT, 12, 6, tie_off),
     ]
@@ -458,4 +505,5 @@ def write_geotiff(
         f.write(struct.pack("<Q" if bigtiff else "<I", 0))
         for b in extra:
             f.write(b)
-        f.write(pixel_data)
+        for s in strips:
+            f.write(s)

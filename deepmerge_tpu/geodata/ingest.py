@@ -308,7 +308,9 @@ def write_simi(lines_path: str, simi: np.ndarray) -> None:
     lines.save(lines_path)
 
 
-def export_scene(scene: Scene, out_dir: str) -> dict[str, str]:
+def export_scene(
+    scene: Scene, out_dir: str, compression: str | None = None
+) -> dict[str, str]:
     """Write a Scene as the reference's file layout (tif + shp trio)."""
     os.makedirs(out_dir, exist_ok=True)
     sub = os.path.join(out_dir, scene.name)
@@ -316,7 +318,7 @@ def export_scene(scene: Scene, out_dir: str) -> dict[str, str]:
     gt = scene.meta.get("geotransform", (0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
 
     image_path = os.path.join(out_dir, f"{scene.name}.tif")
-    write_geotiff(image_path, scene.image, gt)
+    write_geotiff(image_path, scene.image, gt, compression=compression)
 
     reg = scene.regions
     # point layer (geo coords inverted through the reference transform)

@@ -146,37 +146,60 @@ def process_folder(
     """Walk per-scene shapefile folders like the reference's multi-scene
     driver (``ExtractFeatures.py:241-303``): each subfolder holds
     PointsGCS.shp (+ lines.shp), the raster is ``<folder>.tif``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from deepmerge_tpu.geodata.ingest import load_scene
 
     model, params, batch_stats = load_params(cfg, checkpoint_path)
-    done = []
-    failed: list[tuple[str, str]] = []
+    jobs = []
     for entry in sorted(os.listdir(shp_folder)):
         sub = os.path.join(shp_folder, entry)
         points = os.path.join(sub, "PointsGCS.shp")
         if not os.path.isdir(sub) or not os.path.exists(points):
             continue
-        image = os.path.join(image_folder, f"{entry}.tif")
-        polygons = os.path.join(shp_folder, f"{entry}.shp")
-        lines = os.path.join(sub, "lines.shp")
-        h5 = os.path.join(sub, f"{cfg.model.name}_features.h5")
-        try:
-            scene = load_scene(image, polygons, points, lines, name=entry,
-                               deep_pixels=deep_pixels)
-            log_fn(f"processing {entry} ({scene.regions.num_points} points)")
-            process_scene(
-                cfg, scene, model, params, batch_stats,
-                h5_path=h5, lines_path=lines, log_fn=log_fn,
+        jobs.append((
+            entry,
+            os.path.join(image_folder, f"{entry}.tif"),
+            os.path.join(shp_folder, f"{entry}.shp"),
+            points,
+            os.path.join(sub, "lines.shp"),
+            os.path.join(sub, f"{cfg.model.name}_features.h5"),
+        ))
+
+    done = []
+    failed: list[tuple[str, str]] = []
+    # One-deep prefetch: scene k+1's host ingestion (TIFF decode + shapefile
+    # parse) runs on a worker thread while scene k occupies the device — the
+    # GIL is free during device waits and inside the native/zlib codecs. A
+    # prefetch failure surfaces at .result() inside scene k+1's own try
+    # block, preserving per-scene fault isolation.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        def submit(j):
+            entry, image, polygons, pts, lines, _ = j
+            return pool.submit(load_scene, image, polygons, pts, lines,
+                               name=entry, deep_pixels=deep_pixels)
+
+        future = submit(jobs[0]) if jobs else None
+        for i, (entry, image, polygons, points, lines, h5) in enumerate(jobs):
+            this_future, future = future, (
+                submit(jobs[i + 1]) if i + 1 < len(jobs) else None
             )
-            done.append(entry)
-        except Exception as e:  # one bad scene must not kill the batch walk
-            failed.append((entry, str(e)))
-            log_fn(f"FAILED {entry}: {e}")
-            try:  # don't leave a truncated feature file looking complete
-                if os.path.exists(h5):
-                    os.remove(h5)
-            except OSError:
-                pass
+            try:
+                scene = this_future.result()
+                log_fn(f"processing {entry} ({scene.regions.num_points} points)")
+                process_scene(
+                    cfg, scene, model, params, batch_stats,
+                    h5_path=h5, lines_path=lines, log_fn=log_fn,
+                )
+                done.append(entry)
+            except Exception as e:  # one bad scene must not kill the batch walk
+                failed.append((entry, str(e)))
+                log_fn(f"FAILED {entry}: {e}")
+                try:  # don't leave a truncated feature file looking complete
+                    if os.path.exists(h5):
+                        os.remove(h5)
+                except OSError:
+                    pass
     if failed:
         log_fn(f"{len(failed)} scene(s) failed: {[f[0] for f in failed]}")
     return done

@@ -449,3 +449,33 @@ def test_geotiff_planar_tiled_read(tmp_path, rng):
     p = tmp_path / "planar_tiled.tif"
     p.write_bytes(raw)
     np.testing.assert_array_equal(read_geotiff(str(p)).array, img)
+
+
+def test_writer_deflate_multistrip_roundtrip(tmp_path, rng):
+    """Deflate multi-strip writer (GDAL COMPRESS=DEFLATE shape): our reader
+    AND an independent consumer (PIL) both recover the array exactly, in
+    classic and BigTIFF containers."""
+    from PIL import Image
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff, write_geotiff
+
+    arr = rng.randint(0, 256, (600, 41, 3)).astype(np.uint8)
+    for big in (False, True):
+        p = tmp_path / f"deflate_{big}.tif"
+        write_geotiff(str(p), arr, (100.0, 0.5, 0, 200.0, 0, -0.5),
+                      bigtiff=big, compression="deflate", rows_per_strip=128)
+        out = read_geotiff(str(p))
+        np.testing.assert_array_equal(out.array, arr)
+        assert abs(out.geotransform[0] - 100.0) < 1e-9
+        assert abs(out.geotransform[5] + 0.5) < 1e-9
+        if not big:
+            pil = np.asarray(Image.open(str(p)))
+            np.testing.assert_array_equal(pil, arr)
+
+
+def test_writer_unknown_compression_rejected(tmp_path):
+    from deepmerge_tpu.geodata.geotiff import write_geotiff
+
+    with pytest.raises(NotImplementedError):
+        write_geotiff(str(tmp_path / "x.tif"), np.zeros((4, 4), np.uint8),
+                      compression="jpeg")

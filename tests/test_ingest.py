@@ -188,3 +188,48 @@ def test_deep_pixels_uint16(tmp_path):
     loaded = load_scene(str(p16), paths["polygons"], paths["points"],
                         paths["lines"], deep_pixels="shift")
     np.testing.assert_array_equal(loaded.image, scene.image)
+
+
+def test_process_folder_prefetch_fault_isolation(tmp_path):
+    """A corrupt scene mid-walk fails alone: the prefetched load error lands
+    in that scene's own try block, the neighbours still complete, and no
+    truncated .h5 survives for the failed scene."""
+    import os
+
+    from deepmerge_tpu.config import Config, DataConfig, MergeConfig, ModelConfig
+    from deepmerge_tpu.infer.driver import process_folder
+
+    images = tmp_path / "images"
+    shps = tmp_path / "shps"
+    for seed in (1, 2, 3):
+        scene = generate_scene(h=96, w=96, n_regions=10, n_objects=3,
+                               seed=seed, name=f"tile{seed}")
+        paths = export_scene(scene, str(tmp_path / "stage"))
+        os.makedirs(images, exist_ok=True)
+        os.makedirs(shps / scene.name, exist_ok=True)
+        os.rename(paths["image"], images / f"{scene.name}.tif")
+        for ext in (".shp", ".shx", ".dbf"):
+            os.rename(str(tmp_path / "stage" / f"{scene.name}{ext}"),
+                      shps / f"{scene.name}{ext}")
+            for base in ("PointsGCS", "lines"):
+                src = tmp_path / "stage" / scene.name / f"{base}{ext}"
+                if src.exists():
+                    os.rename(str(src), shps / scene.name / f"{base}{ext}")
+    with open(images / "tile2.tif", "wb") as f:
+        f.write(b"not a tiff at all")
+
+    cfg = Config(
+        model=ModelConfig(variant="v3", input_image_scales=(16, 32, 64),
+                          cube=8, embed_dim=32, depth=(1, 1, 1), num_heads=4,
+                          out_dim=8, dtype="float32"),
+        data=DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+                        eval_batch_size=16),
+        merge=MergeConfig(engine="host"),
+    )
+    logs = []
+    done = process_folder(cfg, str(images), str(shps), log_fn=logs.append)
+    assert done == ["tile1", "tile3"]
+    assert any("FAILED tile2" in ln for ln in logs)
+    assert not (shps / "tile2" / f"{cfg.model.name}_features.h5").exists()
+    for name in done:
+        assert (shps / name / f"{cfg.model.name}_features.h5").exists()
