@@ -32,7 +32,18 @@ def _majority_object_per_region(labels, objects, num_regions):
     import numpy as np
 
     lab = np.asarray(labels).ravel().astype(np.int64)
-    uniq, inv = np.unique(np.asarray(objects).ravel(), return_inverse=True)
+    obj = np.asarray(objects).ravel()
+    # negative ids (-1 nodata conventions) would alias into other regions
+    # through the key arithmetic below — drop those pixels instead
+    keep = (lab >= 0) & (obj >= 0)
+    if not keep.all():
+        lab, obj = lab[keep], obj[keep]
+    if lab.size and lab.max() >= num_regions:
+        raise ValueError(
+            f"label map contains region id {int(lab.max())} >= "
+            f"num_regions={num_regions}"
+        )
+    uniq, inv = np.unique(obj, return_inverse=True)
     key, counts = np.unique(lab * len(uniq) + inv, return_counts=True)
     best = np.zeros(num_regions, np.int64)
     order = np.argsort(counts, kind="stable")
@@ -230,6 +241,8 @@ def main(argv=None):
             from deepmerge_tpu.geodata.ingest import load_scene
 
             name = args.scene_name
+            if not name:
+                parser.error("--scene-dir needs --scene-name")
             scene = load_scene(
                 os.path.join(args.scene_dir, f"{name}.tif"),
                 os.path.join(args.scene_dir, f"{name}.shp"),
@@ -241,6 +254,12 @@ def main(argv=None):
         if args.pos_pairs or args.neg_pairs:
             if not (args.pos_pairs and args.neg_pairs):
                 parser.error("--pos-pairs and --neg-pairs go together")
+            if scene is None:
+                # pair txt files hold PER-SCENE region ids; without the
+                # scene they came from, training would index a synthetic
+                # scene with foreign ids
+                parser.error("--pos-pairs/--neg-pairs need --scene-dir "
+                             "(+ --scene-name): pair ids are per-scene")
             from deepmerge_tpu.geodata.pairgen import read_pair_source
 
             pos_pairs = read_pair_source(args.pos_pairs, args.scene_name)

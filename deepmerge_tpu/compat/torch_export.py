@@ -77,7 +77,8 @@ def flax_to_torch_state_dict(variables: Mapping, mcfg) -> dict[str, np.ndarray]:
         _ln(sd, "norm", p["norm"])
         _linear(sd, "final_features_with_design",
                 p["final_features_with_design"])
-        _zeros_linear(sd, "head", mcfg.num_classes, mcfg.out_dim)
+        if mcfg.num_classes > 0:  # ref: head = Identity() when 0
+            _zeros_linear(sd, "head", mcfg.num_classes, mcfg.out_dim)
         return sd
 
     # ---- patch embeds (conv stride==kernel <-> flattened dense) ----------

@@ -54,18 +54,31 @@ def load_scene(
     ``deep_pixels`` controls rasters deeper than 8 bits (the reference was
     only ever run on uint8 RGB — its ``/255`` normalization,
     ``MyUtils1.py:215``): ``"error"`` (default) refuses instead of silently
-    wrapping values modulo 256; ``"shift"`` maps the full deeper range onto
-    uint8 by dropping low bits (uint16 → high byte, the standard 16→8-bit
-    downscale); ``"clip"`` clamps to [0, 255] (for data already in 8-bit
-    range stored in a wider type).
+    wrapping values modulo 256; ``"shift"`` maps the full positive range
+    onto uint8 — integer types drop low bits (uint16 → high byte, the
+    standard 16→8-bit downscale; signed types clamp negatives — e.g. the
+    -32768 nodata fill — to 0 first and use the positive payload bits),
+    floats rescale [0, max] linearly; ``"clip"`` clamps to [0, 255] (for
+    data already in 8-bit range stored in a wider type).
     """
     tif = read_geotiff(image_path)
     arr = tif.array
     if arr.dtype != np.uint8:
         if deep_pixels == "shift":
-            info = np.iinfo(arr.dtype) if arr.dtype.kind in "iu" else None
-            if info is not None and info.max > 255:
-                arr = (arr.astype(np.uint32) >> (info.bits - 8))
+            if arr.dtype.kind in "iu":
+                info = np.iinfo(arr.dtype)
+                if info.min < 0:  # clamp BEFORE widening: negatives
+                    arr = np.maximum(arr, 0)  # (incl. nodata fills) -> 0
+                if info.max > 255:
+                    # positive payload bits minus 8 (int16 -> >>7 keeps
+                    # the full 0..32767 -> 0..255 range; uint16 -> >>8)
+                    shift = info.bits - (9 if info.min < 0 else 8)
+                    arr = arr.astype(np.uint32) >> shift
+            else:  # float rasters (e.g. reflectance in [0, 1])
+                arr = np.maximum(arr, 0.0)
+                peak = float(arr.max()) if arr.size else 0.0
+                if peak > 0:
+                    arr = arr * (255.0 / peak)
             arr = np.clip(arr, 0, 255)
         elif deep_pixels == "clip":
             arr = np.clip(arr, 0, 255)

@@ -67,6 +67,12 @@ def candidate_thresholds(
     d = np.asarray(edge_distances(remb, jnp.asarray(scene.rag.edges,
                                                     np.int32)))
     d = d[np.isfinite(d)]
+    if d.size == 0:
+        raise ValueError(
+            f"scene '{scene.name}' has no finite RAG edge distances to "
+            "calibrate on (empty edge list or degenerate embeddings) — "
+            "pick a validation scene with adjacent regions"
+        )
     qs = np.quantile(d, np.linspace(0.05, 0.95, n))
     return np.unique(np.round(qs, 6))
 

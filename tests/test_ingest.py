@@ -233,3 +233,63 @@ def test_process_folder_prefetch_fault_isolation(tmp_path):
     assert not (shps / "tile2" / f"{cfg.model.name}_features.h5").exists()
     for name in done:
         assert (shps / name / f"{cfg.model.name}_features.h5").exists()
+
+
+def test_deep_pixels_int16_and_float(tmp_path):
+    """deep_pixels='shift' on SIGNED rasters clamps negatives (nodata fills)
+    to 0 — not wrap-to-white — and uses the positive payload bits; float
+    rasters rescale [0, max] linearly instead of collapsing to 0/1."""
+    import struct
+
+    scene = generate_scene(h=64, w=64, n_regions=8, n_objects=3, seed=5)
+    paths = export_scene(scene, str(tmp_path))
+
+    def craft(path, arr, bps, fmt_tag):
+        h, w, c = arr.shape
+        payload = arr.tobytes()
+        n = 10
+        data_off = 8 + 2 + n * 12 + 4
+
+        def e(tag, typ, count, val):
+            if typ == 3:
+                return struct.pack("<HHIHH", tag, typ, count, val, 0)
+            return struct.pack("<HHII", tag, typ, count, val)
+
+        entries = [
+            e(256, 4, 1, w), e(257, 4, 1, h), e(258, 3, 1, bps),
+            e(259, 3, 1, 1), e(262, 3, 1, 2), e(273, 4, 1, data_off),
+            e(277, 3, 1, c), e(278, 4, 1, h), e(279, 4, 1, len(payload)),
+            e(339, 3, 1, fmt_tag),
+        ]
+        path.write_bytes(
+            b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", n)
+            + b"".join(entries) + struct.pack("<I", 0) + payload
+        )
+
+    # int16: value = pixel * 128 (fills the 0..32767 positive range);
+    # sprinkle -32768 nodata pixels which must land at 0, not 255
+    img16 = scene.image.astype(np.int16) * 128
+    img16[:4, :4] = -32768
+    p = tmp_path / "int16.tif"
+    craft(p, img16.astype("<i2"), 16, 2)
+    loaded = load_scene(str(p), paths["polygons"], paths["points"],
+                        paths["lines"], deep_pixels="shift")
+    expect = scene.image.copy()
+    expect[:4, :4] = 0
+    np.testing.assert_array_equal(loaded.image, expect)
+
+    # float32 reflectance in [0, 1] (+ a negative nodata) rescales linearly
+    imgf = scene.image.astype(np.float32) / 255.0
+    imgf[:4, :4] = -9999.0
+    pf = tmp_path / "float.tif"
+    craft(pf, imgf.astype("<f4"), 32, 3)
+    loaded = load_scene(str(pf), paths["polygons"], paths["points"],
+                        paths["lines"], deep_pixels="shift")
+    assert loaded.image[:4, :4].max() == 0
+    # linear rescale by the scene max: pixel' = round-ish of pixel * 255/max
+    peak = scene.image.max()
+    expect = np.clip(
+        (scene.image.astype(np.float64) / peak) * 255.0, 0, 255
+    ).astype(np.uint8)
+    expect[:4, :4] = 0
+    assert np.abs(loaded.image.astype(int) - expect.astype(int)).max() <= 1

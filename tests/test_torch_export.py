@@ -122,3 +122,24 @@ def test_export_import_roundtrip_identity(tmp_path):
             np.asarray(node), np.asarray(leaf), rtol=1e-6, atol=1e-6,
             err_msg=str(kp),
         )
+
+
+def test_export_v6_no_classes_strict_load():
+    """v6 with num_classes=0: the reference builds head = nn.Identity()
+    (ShfitScaleFormer.py:1527), so the export must NOT emit head.* keys —
+    strict load_state_dict would reject them."""
+    mcfg = ModelConfig(
+        variant="v6", input_image_scales=(16, 32, 64), cube=8,
+        embed_dim=768, num_heads=12, depth=(1, 1, 1), out_dim=100,
+        num_classes=0, dtype="float32",
+    )
+    model = build_model(mcfg)
+    variables = init_params(model, jax.random.key(0), batch=2)
+    sd = flax_to_torch_state_dict(variables, mcfg)
+    assert not any(k.startswith("head.") for k in sd)
+
+    net = SSF.ShfitScaleFormer_v6(num_classes=0, embed_dim=768, cuda=False)
+    net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )

@@ -212,7 +212,6 @@ def probe_train(pairs=120):
 
     B = 2 * pairs
     model, params, mcfg = _flagship(True)
-    xla_model, _, _ = _flagship(True)
     import deepmerge_tpu.models.s2former as s2
 
     xla_model = s2.build_model(dataclasses.replace(mcfg, fused_block=False))
