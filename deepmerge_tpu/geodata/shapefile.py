@@ -30,6 +30,12 @@ SHP_POLYGON = 5
 
 _SHAPE_NAMES = {SHP_POINT: "point", SHP_POLYLINE: "polyline", SHP_POLYGON: "polygon"}
 
+# Z (…Z, +10) and M (…M, +20) variants: the XY payload sits at the same
+# offsets as the 2-D layout (z/m blocks are appended AFTER it, ESRI
+# shapefile spec ch. 2), so reads normalize them to the base type — OGR
+# does the same transparently, and GDAL-produced layers are often Z-typed.
+_ZM_TO_BASE = {11: 1, 21: 1, 13: 3, 23: 3, 15: 5, 25: 5}
+
 
 @dataclass
 class DbfField:
@@ -129,6 +135,7 @@ def _read_shp(path: str) -> tuple[int, list[Shape]]:
         raise ValueError(f"{path}: not a shapefile (code {code})")
     file_len_words, = struct.unpack(">i", data[24:28])
     shape_type, = struct.unpack("<i", data[32:36])
+    shape_type = _ZM_TO_BASE.get(shape_type, shape_type)
     shapes: list[Shape] = []
     off = 100
     end = file_len_words * 2
@@ -138,6 +145,7 @@ def _read_shp(path: str) -> tuple[int, list[Shape]]:
         rec = data[off : off + content_words * 2]
         off += content_words * 2
         stype, = struct.unpack("<i", rec[0:4])
+        stype = _ZM_TO_BASE.get(stype, stype)
         if stype == 0:  # null shape
             shapes.append(Shape(0, np.zeros((0, 2))))
         elif stype == SHP_POINT:

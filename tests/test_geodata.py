@@ -479,3 +479,57 @@ def test_writer_unknown_compression_rejected(tmp_path):
     with pytest.raises(NotImplementedError):
         write_geotiff(str(tmp_path / "x.tif"), np.zeros((4, 4), np.uint8),
                       compression="jpeg")
+
+
+def test_shapefile_z_and_m_variants(tmp_path):
+    """PointZ(11)/PolygonZ(15)/PointM(21) records read as their 2-D base
+    types — GDAL-produced layers are often Z-typed, and OGR (the reference's
+    vector substrate) normalizes them the same way. The XY payload sits at
+    the 2-D offsets; z/m blocks trail the record."""
+    import struct
+
+    from deepmerge_tpu.geodata.shapefile import _read_shp
+
+    def write_shp(path, shape_type, recs):
+        body = b""
+        for i, rec in enumerate(recs):
+            body += struct.pack(">ii", i + 1, len(rec) // 2) + rec
+        total_words = (100 + len(body)) // 2
+        hdr = struct.pack(">i", 9994) + b"\0" * 20 + struct.pack(
+            ">i", total_words
+        ) + struct.pack("<ii", 1000, shape_type) + struct.pack("<8d", *([0.0] * 8))
+        path.write_bytes(hdr + body)
+
+    # PointZ: x, y, z, m
+    rec_pz = struct.pack("<idddd", 11, 3.5, 4.5, 99.0, -1.0)
+    p = tmp_path / "pz.shp"
+    write_shp(p, 11, [rec_pz])
+    stype, shapes = _read_shp(str(p))
+    assert stype == 1 and shapes[0].shape_type == 1
+    assert (shapes[0].x, shapes[0].y) == (3.5, 4.5)
+
+    # PointM: x, y, m
+    rec_pm = struct.pack("<iddd", 21, 7.0, 8.0, 5.0)
+    pm = tmp_path / "pm.shp"
+    write_shp(pm, 21, [rec_pm])
+    stype, shapes = _read_shp(str(pm))
+    assert stype == 1 and (shapes[0].x, shapes[0].y) == (7.0, 8.0)
+
+    # PolygonZ: bbox + nparts/npoints + parts + xy + zrange + z + mrange + m
+    xy = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+    z = np.array([9.0, 9.0, 9.0, 9.0])
+    rec_gz = (
+        struct.pack("<i", 15)
+        + struct.pack("<4d", 0, 0, 1, 1)               # bbox
+        + struct.pack("<ii", 1, len(xy))               # nparts, npoints
+        + struct.pack("<i", 0)                         # part index
+        + xy.astype("<f8").tobytes()
+        + struct.pack("<2d", z.min(), z.max()) + z.astype("<f8").tobytes()
+        + struct.pack("<2d", 0, 0) + np.zeros(4).astype("<f8").tobytes()
+    )
+    gz = tmp_path / "gz.shp"
+    write_shp(gz, 15, [rec_gz])
+    stype, shapes = _read_shp(str(gz))
+    assert stype == 5 and shapes[0].shape_type == 5
+    np.testing.assert_array_equal(shapes[0].points, xy)
+    np.testing.assert_array_equal(shapes[0].parts, [0])
