@@ -101,10 +101,14 @@ def scene_pad(caps: int | tuple[int, ...], channels: int) -> int:
     """Per-side zero padding: half the max window + DMA alignment spill.
 
     ``channels`` may be the original band count — alignment always uses the
-    STAGED (power-of-two padded) channel count.
+    STAGED (power-of-two padded) channel count. The spill must cover BOTH
+    axes: columns align down by up to ``_pixel_align`` pixels, rows by up
+    to ``ROW_ALIGN`` (32) — for staged channels ≥ 8 the pixel alignment
+    drops below 32, so the row bound dominates (under-padding there sent
+    bottom-edge window DMAs past the padded array).
     """
     m = caps if isinstance(caps, int) else max(caps)
-    return m // 2 + _pixel_align(staged_channels(channels))
+    return m // 2 + max(ROW_ALIGN, _pixel_align(staged_channels(channels)))
 
 
 def pad_scene(scene: np.ndarray, caps: int | tuple[int, ...]) -> np.ndarray:

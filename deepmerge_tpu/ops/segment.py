@@ -30,11 +30,15 @@ def segment_mean(embeddings, segment_ids, num_segments: int):
     sums = jax.ops.segment_sum(
         embeddings, segment_ids, num_segments=num_segments + 1
     )[:num_segments]
-    ones = jnp.ones((embeddings.shape[0],), embeddings.dtype)
+    # counts accumulate in f32 regardless of the embedding dtype: bf16
+    # integer resolution ends at 256, which would silently saturate the
+    # per-region point count on dense regions
+    ones = jnp.ones((embeddings.shape[0],), jnp.float32)
     counts = jax.ops.segment_sum(
         ones, segment_ids, num_segments=num_segments + 1
     )[:num_segments]
-    return sums / jnp.maximum(counts, 1.0)[:, None]
+    mean = sums.astype(jnp.float32) / jnp.maximum(counts, 1.0)[:, None]
+    return mean.astype(sums.dtype)
 
 
 @jax.jit

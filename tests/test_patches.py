@@ -134,3 +134,28 @@ def test_patches_match_oracle_large_windows(rng):
             assert (
                 np.abs(got * 255 - ref[slot] * 255).max() <= 1.001
             ), f"large-window point {b} slot {slot}"
+
+
+def test_patches_5band_bottom_edge(rng):
+    """Scenes staging to >=8 channels have a SMALLER column alignment (16px)
+    than the 32-row DMA tile: the row pad must still cover the 32-aligned-
+    down origin + cap + 32 window. A 5-band scene with a bottom-edge point
+    regresses the under-padding (windows read past the padded array)."""
+    h, w = 113, 160
+    image = (rng.rand(h, w, 5) * 255).astype(np.uint8)
+    padded = pad_scene(image, CAP)
+    pts = np.array([[112, 80], [112, 0], [0, 159]], np.int32)
+    inner = np.full(len(pts), 30, np.int32)
+    obj = np.full(len(pts), 49, np.int32)  # envi scale 87 -> cap 128 window
+    scales, _ = adaptive_scales(inner, obj, tuple(PATCH_SIZES) + (1,))
+
+    ours = extract_multiscale_patches(
+        padded, pts, scales, PATCH_SIZES, caps=CAP, chunk=3, out_channels=5
+    )
+    for b in range(len(pts)):
+        ref, _, _ = ref_patches(image, pts[b], inner[b], obj[b], PATCH_SIZES)
+        for slot in range(len(PATCH_SIZES)):
+            got = np.asarray(ours[slot][b])
+            assert (
+                np.abs(got * 255 - ref[slot] * 255).max() <= 1.001
+            ), f"point {b} slot {slot}"
