@@ -27,7 +27,10 @@ def main():
     from deepmerge_tpu.infer.extract import FeatureExtractor
     import jax.numpy as jnp
 
-    from deepmerge_tpu.ops.labelprop import device_score_and_merge
+    from deepmerge_tpu.ops.labelprop import (
+        device_score_and_merge,
+        merged_label_map,
+    )
     from deepmerge_tpu.models.s2former import build_model, init_params
     from deepmerge_tpu.train.sampler import stage_scene
 
@@ -76,6 +79,10 @@ def main():
     edges_dev = jnp.asarray(edges)
     valid_dev = jnp.asarray(edge_valid)
     pr_dev = jnp.asarray(scene.regions.point_region, jnp.int32)
+    # superpixel region map uploads ONCE per scene (like the staged image);
+    # the merged (H, W) label map is then produced per run on device and
+    # STAYS device-resident for downstream device consumers
+    region_map_dev = jnp.asarray(scene.labels, jnp.int32)
 
     def run_once():
         t = time.perf_counter()
@@ -99,24 +106,30 @@ def main():
                 num_regions=scene.regions.num_regions, max_rounds=8,
                 device_scene=ds,
             )
-        labels = np.asarray(labels)
+        rounds = int(rounds)  # sync: the merge finished
         phases["score+merge"] = phases.get("score+merge", 0) + time.perf_counter() - t
         t = time.perf_counter()
-        uniq, dense = np.unique(labels, return_inverse=True)
-        _ = dense.astype(np.int32)[scene.labels]  # merged label map
+        label_map, n_clusters = merged_label_map(labels, region_map_dev)
+        n_clusters = int(n_clusters)  # sync; the (H, W) map stays on device
         phases["labelmap"] = phases.get("labelmap", 0) + time.perf_counter() - t
-        return int(rounds)
+        return rounds
 
     run_once()  # warmup / compile
     phases.clear()
-    t0 = time.perf_counter()
-    runs = 3
+    runs = int(os.environ.get("BENCH_RUNS", 5))
+    times = []
     for _ in range(runs):
+        t0 = time.perf_counter()
         result = run_once()
-    dt = (time.perf_counter() - t0) / runs
+        times.append(time.perf_counter() - t0)
+    # median: robust to one-off host hiccups (GC, relay stalls) that made
+    # successive identical-code runs draw 3.31–3.41 (BENCH.md round 3)
+    dt = float(np.median(times))
     if verbose:
         detail = ", ".join(f"{k}={v / runs * 1000:.0f}ms" for k, v in phases.items())
-        print(f"[bench] per-run phases: {detail}", file=sys.stderr)
+        print(f"[bench] per-run phases (mean of {runs}): {detail}", file=sys.stderr)
+        print(f"[bench] run times: {[round(x, 4) for x in times]} -> median {dt:.4f}s",
+              file=sys.stderr)
 
     mpix = H * W / 1e6
     mpix_per_s = mpix / dt

@@ -15,3 +15,8 @@ from deepmerge_tpu.ops.segment import (  # noqa: F401
     pairwise_sqdist,
     edge_distances,
 )
+from deepmerge_tpu.ops.labelprop import (  # noqa: F401
+    device_merge,
+    device_score_and_merge,
+    merged_label_map,
+)

@@ -159,3 +159,34 @@ def device_merge(
         cond, round_body, (labels0, jnp.int32(0), jnp.bool_(True))
     )
     return labels, rounds
+
+
+@jax.jit
+def merged_label_map(labels, region_map_hw):
+    """Dense-relabel cluster labels and expand to an (H, W) merged map —
+    entirely on device, output device-resident.
+
+    The host equivalent (``np.unique(labels, return_inverse=True)`` then
+    ``dense[scene.labels]``, e.g. ``infer/merge.py``) gathers millions of
+    pixels on the CPU (~tens of ms per scene on small hosts); on device the
+    same work is one sort over R plus one HBM-bandwidth gather. Downstream
+    device consumers (tile writers, mosaic compositors) keep the map on
+    device; only pull it to host when a file must be written.
+
+    Args:
+      labels: (R,) int32 min-member-id cluster labels (``device_merge``).
+      region_map_hw: (H, W) int32 superpixel region-id map (device array;
+        upload once per scene alongside staging).
+
+    Returns:
+      (map_hw (H, W) int32 dense labels 0..k-1 ordered by smallest member
+       id — identical to the host np.unique relabel — and num_clusters
+       (int32 scalar)).
+    """
+    s = jnp.sort(labels)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )
+    dense_at_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    dense = dense_at_sorted[jnp.searchsorted(s, labels)]
+    return dense[region_map_hw], dense_at_sorted[-1] + 1

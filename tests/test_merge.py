@@ -178,3 +178,30 @@ def test_calibrate_threshold_recovers_object_partition(small_scene):
     assert len(cal.table) >= 5
     # the chosen threshold separates the two distance modes
     assert 0.0 < cal.threshold < 3.0
+
+
+def test_merged_label_map_matches_host_relabel(rng):
+    """Device dense-relabel + (H, W) expansion == np.unique(return_inverse)
+    then host gather (the infer/merge.py relabel semantics)."""
+    from deepmerge_tpu.ops.labelprop import merged_label_map
+
+    r = 37
+    # min-member-id style labels: each label points at some smaller-or-equal id
+    labels = np.minimum(np.arange(r), rng.randint(0, r, r)).astype(np.int32)
+    region_map = rng.randint(0, r, (23, 31)).astype(np.int32)
+
+    map_dev, n_dev = merged_label_map(jnp.asarray(labels), jnp.asarray(region_map))
+
+    uniq, dense = np.unique(labels, return_inverse=True)
+    expect = dense.astype(np.int32)[region_map]
+    assert int(n_dev) == len(uniq)
+    np.testing.assert_array_equal(np.asarray(map_dev), expect)
+
+
+def test_merged_label_map_single_cluster(rng):
+    from deepmerge_tpu.ops.labelprop import merged_label_map
+
+    labels = np.zeros(9, np.int32)
+    region_map = rng.randint(0, 9, (4, 5)).astype(np.int32)
+    map_dev, n_dev = merged_label_map(jnp.asarray(labels), jnp.asarray(region_map))
+    assert int(n_dev) == 1 and np.asarray(map_dev).max() == 0
