@@ -71,20 +71,25 @@ def process_scene(
     do_merge: bool = True,
     timings: Optional[Timings] = None,
     log_fn=print,
+    extractor: Optional[FeatureExtractor] = None,
 ) -> tuple[np.ndarray, np.ndarray, Optional[MergeResult]]:
     """Extract → score → (merge) one scene.
 
     Returns (point_embeddings, edge_simi, merge_result). Optionally streams
     embeddings into an HDF5 store (the reference's per-scene .h5,
     ``ExtractFeatures.py:286``) and writes ``simi`` back into lines.shp.
+    ``extractor`` lets multi-scene callers reuse ONE FeatureExtractor (its
+    jit cache lives on the instance — a fresh one per scene recompiles the
+    whole fused pipeline even for identically-shaped tiles).
     """
     if model is None:
         model, params, batch_stats = load_params(cfg)
     timings = timings or Timings()
 
-    extractor = FeatureExtractor(
-        model, params, batch_stats, batch_size=cfg.data.eval_batch_size
-    )
+    if extractor is None:
+        extractor = FeatureExtractor(
+            model, params, batch_stats, batch_size=cfg.data.eval_batch_size
+        )
     store = FeatureStore(h5_path) if h5_path else None
     try:
         with phase_timer(timings, "extract"):
@@ -151,6 +156,12 @@ def process_folder(
     from deepmerge_tpu.geodata.ingest import load_scene
 
     model, params, batch_stats = load_params(cfg, checkpoint_path)
+    # ONE extractor for the whole walk: identically-shaped tiles (the
+    # common mosaic case, ExtractFeatures.py:257-299) then hit the jit
+    # cache instead of recompiling per scene
+    extractor = FeatureExtractor(
+        model, params, batch_stats, batch_size=cfg.data.eval_batch_size
+    )
     jobs = []
     for entry in sorted(os.listdir(shp_folder)):
         sub = os.path.join(shp_folder, entry)
@@ -190,6 +201,7 @@ def process_folder(
                 process_scene(
                     cfg, scene, model, params, batch_stats,
                     h5_path=h5, lines_path=lines, log_fn=log_fn,
+                    extractor=extractor,
                 )
                 done.append(entry)
             except Exception as e:  # one bad scene must not kill the batch walk

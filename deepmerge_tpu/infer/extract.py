@@ -122,17 +122,6 @@ class FeatureExtractor:
 
         # params are explicit jit arguments (NOT closure constants — that
         # would bake ~100MB of weights into the HLO)
-        def fwd(params, batch_stats, patches, designed):
-            variables = {"params": params}
-            if has_bs:
-                variables["batch_stats"] = batch_stats
-            return self.model.apply(variables, patches, designed, False)
-
-        jitted_fwd = jax.jit(fwd)
-        self._fwd = lambda patches, designed: jitted_fwd(
-            self.params, self.batch_stats, patches, designed
-        )
-
         def fused(params, batch_stats, padded, centers, scales, factors, feats,
                   caps, quantize):
             patches = extract_multiscale_patches(

@@ -66,16 +66,15 @@ def shard_scene_columns(scene: Scene, n_shards: int) -> tuple[list[SceneShard], 
     e = scene.rag.edges
     cross = strip_of[e[:, 0]] != strip_of[e[:, 1]]
     boundary = e[cross]
+    same = e[~cross]
+    same_strip = strip_of[same[:, 0]] if len(same) else np.zeros(0, np.int64)
     shards = []
     for s in range(n_shards):
         owned = np.where(strip_of == s)[0]
         own_pts = np.where(strip_of[r.point_region] == s)[0]
-        internal = e[~cross][
-            (strip_of[e[~cross][:, 0]] == s)
-        ]
         shards.append(
             SceneShard(regions=owned, points=own_pts,
-                       internal_edges=internal, strip=s)
+                       internal_edges=same[same_strip == s], strip=s)
         )
     return shards, boundary
 
@@ -113,17 +112,11 @@ def merge_sharded_approx(
             point_embeddings, scene.regions.point_region, r,
             shard.internal_edges,
         )
-        # fold the local partition into the global label array
+        # fold the local partition into the global label array:
+        # canonical rep = min member id per local cluster (vectorized)
         comp = local.region_to_cluster.astype(np.int64)
-        # canonical min member per local cluster
-        order = np.argsort(comp, kind="stable")
-        reps = np.zeros(comp.max() + 1, np.int64)
-        seen = np.zeros(comp.max() + 1, bool)
-        for i in order:
-            c = comp[i]
-            if not seen[c]:
-                reps[c] = i
-                seen[c] = True
+        reps = np.full(comp.max() + 1, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(reps, comp, np.arange(r, dtype=np.int64))
         labels = np.minimum(labels, reps[comp])
 
     # global resolution: union local partitions, then re-run global rounds
@@ -191,6 +184,18 @@ def stage_scene_shards(scene: Scene, cfg, n_shards: int) -> StagedShards:
     )
     max_scales = ladder.max(0)[: len(cfg.patch_sizes)]
     caps = slot_caps(max_scales, cfg.max_window)
+    if int(max_scales.max(initial=0)) > cfg.max_window:
+        # same divergence warning as the single-device stage_scene
+        # (train/sampler.py) — sharded staging clamps identically
+        import warnings
+
+        warnings.warn(
+            f"scene '{scene.name}': adaptive scales up to "
+            f"{int(max_scales.max())} exceed data.max_window="
+            f"{cfg.max_window}; windows will be clamped (patch content "
+            f"differs from the reference for those points)",
+            stacklevel=2,
+        )
     c = scene.image.shape[-1]
     halo = scene_pad(caps, c)  # max window half-extent + DMA alignment spill
 
@@ -392,24 +397,44 @@ def distributed_merge(
         e = np.concatenate([e, np.zeros((e_pad, 2), np.int32)])
         ev = np.concatenate([ev, np.zeros(e_pad, bool)])
 
-    def local(emb, pr, e, ev):
-        return _collective_merge_rounds(
-            emb, pr, e, ev, threshold, R, max_rounds, sweeps, axis
-        )
-
-    fn = jax.jit(
-        jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
-    )
+    fn = _merge_shardmap_fn(mesh, axis, R, max_rounds, sweeps)
     labels, rounds, margin = fn(
-        jnp.asarray(emb), jnp.asarray(pr), jnp.asarray(e), jnp.asarray(ev)
+        jnp.asarray(emb), jnp.asarray(pr), jnp.asarray(e), jnp.asarray(ev),
+        jnp.float32(threshold),
     )
     _warn_knife_edge(float(margin), threshold)
     return np.asarray(labels), int(rounds)
+
+
+# compiled shard_map programs keyed per (mesh, axis, R, rounds, sweeps) —
+# rebuilding jax.jit(shard_map(...)) per CALL would recompile identical
+# programs (minutes each through the remote-compile relay) on every
+# threshold sweep or same-shaped scene; threshold is a traced argument
+_MERGE_FN_CACHE: dict = {}
+
+
+def _merge_shardmap_fn(mesh, axis, R, max_rounds, sweeps):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    key = (mesh, axis, R, max_rounds, sweeps)
+    fn = _MERGE_FN_CACHE.get(key)
+    if fn is None:
+        def local(emb, pr, e, ev, thr):
+            return _collective_merge_rounds(
+                emb, pr, e, ev, thr, R, max_rounds, sweeps, axis
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+        _MERGE_FN_CACHE[key] = fn
+    return fn
 
 
 def extract_and_merge_sharded(
@@ -457,44 +482,57 @@ def extract_and_merge_sharded(
     scales = np.asarray(scales)
     factors = np.asarray(factors)
 
-    def local(params, bs_, tile, centers, feats, scl, fac, pr, edges, evalid):
-        tile, centers, feats = tile[0], centers[0], feats[0]
-        scl, fac, pr = scl[0], fac[0], pr[0]
-        edges, evalid = edges[0], evalid[0]
-        patches = extract_multiscale_patches(
-            tile, centers, scl,
-            patch_sizes=tuple(mcfg.input_image_scales),
-            caps=staged.caps, quantize_uint8=cfg.quantize_uint8,
-            out_channels=mcfg.in_channels,
-            out_dtype=jnp.dtype(mcfg.dtype),
-        )
-        designed = jnp.concatenate([feats, fac], axis=1)
-        variables = {"params": params}
-        if has_bs:
-            variables["batch_stats"] = bs_
-        emb = model.apply(
-            variables, patches, designed, False
-        ).astype(jnp.float32)
-        labels, rounds, margin = _collective_merge_rounds(
-            emb, pr, edges, evalid, threshold, R, max_rounds, sweeps, axis
-        )
-        return labels, rounds, margin
-
-    rep = P()
-    shard = P(axis)
-    fn = jax.jit(
-        jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(
-                jax.tree.map(lambda _: rep, params),
-                jax.tree.map(lambda _: rep, batch_stats),
-                shard, shard, shard, shard, shard, shard, shard, shard,
-            ),
-            out_specs=(rep, rep, rep),
-            check_vma=False,
-        )
+    # compiled once per (model/mesh/shape signature); threshold is traced.
+    # NB the params/batch_stats PyTree STRUCTURE is part of the signature
+    # (in_specs are built from it), so it joins the key.
+    key = (
+        model, mesh, axis, R, max_rounds, sweeps, staged.caps,
+        tuple(cfg.patch_sizes), cfg.quantize_uint8, has_bs,
+        jax.tree.structure(params), jax.tree.structure(batch_stats),
     )
+    fn = _MERGE_FN_CACHE.get(key)
+    if fn is None:
+        def local(params, bs_, tile, centers, feats, scl, fac, pr, edges,
+                  evalid, thr):
+            tile, centers, feats = tile[0], centers[0], feats[0]
+            scl, fac, pr = scl[0], fac[0], pr[0]
+            edges, evalid = edges[0], evalid[0]
+            patches = extract_multiscale_patches(
+                tile, centers, scl,
+                patch_sizes=tuple(mcfg.input_image_scales),
+                caps=staged.caps, quantize_uint8=cfg.quantize_uint8,
+                out_channels=mcfg.in_channels,
+                out_dtype=jnp.dtype(mcfg.dtype),
+            )
+            designed = jnp.concatenate([feats, fac], axis=1)
+            variables = {"params": params}
+            if has_bs:
+                variables["batch_stats"] = bs_
+            emb = model.apply(
+                variables, patches, designed, False
+            ).astype(jnp.float32)
+            labels, rounds, margin = _collective_merge_rounds(
+                emb, pr, edges, evalid, thr, R, max_rounds, sweeps, axis
+            )
+            return labels, rounds, margin
+
+        rep = P()
+        shard = P(axis)
+        fn = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    jax.tree.map(lambda _: rep, params),
+                    jax.tree.map(lambda _: rep, batch_stats),
+                    shard, shard, shard, shard, shard, shard, shard, shard,
+                    rep,
+                ),
+                out_specs=(rep, rep, rep),
+                check_vma=False,
+            )
+        )
+        _MERGE_FN_CACHE[key] = fn
     labels, rounds, margin = fn(
         params,
         batch_stats,
@@ -506,6 +544,7 @@ def extract_and_merge_sharded(
         jnp.asarray(staged.point_region),
         jnp.asarray(staged.edges),
         jnp.asarray(staged.edge_valid),
+        jnp.float32(threshold),
     )
     _warn_knife_edge(float(margin), threshold)
     labels = np.asarray(labels)
