@@ -243,13 +243,27 @@ def main(argv=None):
             name = args.scene_name
             if not name:
                 parser.error("--scene-dir needs --scene-name")
+            import numpy as np
+
+            # export-synthetic sidecars: {name}_labels.npy (superpixel
+            # map) and {name}_objects.npy (per-pixel ground-truth object
+            # map). With them, a dir made by export-synthetic trains
+            # directly — no pair txt files needed.
+            labels_npy = os.path.join(args.scene_dir, f"{name}_labels.npy")
+            objects_npy = os.path.join(args.scene_dir, f"{name}_objects.npy")
+            labels = np.load(labels_npy) if os.path.exists(labels_npy) else None
             scene = load_scene(
                 os.path.join(args.scene_dir, f"{name}.tif"),
                 os.path.join(args.scene_dir, f"{name}.shp"),
                 os.path.join(args.scene_dir, name, "PointsGCS.shp"),
                 os.path.join(args.scene_dir, name, "lines.shp"),
+                labels=labels,
                 name=name,
             )
+            if labels is not None and os.path.exists(objects_npy):
+                scene.object_of_region = _majority_object_per_region(
+                    labels, np.load(objects_npy), scene.regions.num_regions
+                )
         pos_pairs = neg_pairs = None
         if args.pos_pairs or args.neg_pairs:
             if not (args.pos_pairs and args.neg_pairs):

@@ -252,14 +252,29 @@ def fused_attention_qkv(qkv, bias, heads: int, block_b: int = 8,
         return _fused_qkv_train_vjp(qkv, bias, heads, block_b, interpret)
     if packed_pv:
         assert heads % 2 == 0, "packed_pv needs an even head count"
-        return _fused_qkv_forward(qkv, bias, heads, block_b, interpret,
-                                  kernel=_attn_qkv_kernel_packed)
+        # same outputs as the default kernel (selfcheck pins them equal),
+        # so the recompute backward below applies unchanged
+        return _fused_qkv_packed_vjp(qkv, bias, heads, block_b, interpret)
     return _fused_qkv_vjp(qkv, bias, heads, block_b, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _fused_qkv_vjp(qkv, bias, heads, block_b, interpret):
     return _fused_qkv_forward(qkv, bias, heads, block_b, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_qkv_packed_vjp(qkv, bias, heads, block_b, interpret):
+    return _fused_qkv_forward(qkv, bias, heads, block_b, interpret,
+                              kernel=_attn_qkv_kernel_packed)
+
+
+def _fused_qkv_packed_fwd(qkv, bias, heads, block_b, interpret):
+    return (
+        _fused_qkv_forward(qkv, bias, heads, block_b, interpret,
+                           kernel=_attn_qkv_kernel_packed),
+        (qkv, bias),
+    )
 
 
 def _split_qkv(qkv, heads):
@@ -290,6 +305,7 @@ def _fused_qkv_bwd(heads, block_b, interpret, res, g):
 
 
 _fused_qkv_vjp.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+_fused_qkv_packed_vjp.defvjp(_fused_qkv_packed_fwd, _fused_qkv_bwd)
 
 
 def _attn_qkv_probs_kernel(qkv_ref, bias_ref, out_ref, probs_ref, *,

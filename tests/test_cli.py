@@ -52,3 +52,20 @@ def test_calibrate_cli(tmp_path, capsys):
     text = capsys.readouterr().out
     assert "calibrated threshold" in text
     assert "override: merge.threshold=" in text
+
+
+def test_train_cli_on_exported_scene_dir(tmp_path):
+    """`train --scene-dir` on an export-synthetic layout auto-loads the
+    `{name}_labels.npy`/`{name}_objects.npy` sidecars (no pair txts needed)."""
+    out = tmp_path / "scene"
+    assert main([
+        "export-synthetic", "--out", str(out), "--size", "96",
+        "--regions", "16", "--objects", "4", "--seed", "5",
+    ]) == 0
+    assert main([
+        "train", "--scene-dir", str(out), "--scene-name", "synthetic",
+        "--epochs", "1", "--max-steps", "1",
+        *TINY, "data.batch_size=8",
+        f"train.checkpoint_dir={tmp_path / 'ckpt'}",
+        f"train.log_dir={tmp_path / 'logs'}",
+    ]) == 0
