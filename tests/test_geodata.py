@@ -533,3 +533,68 @@ def test_shapefile_z_and_m_variants(tmp_path):
     assert stype == 5 and shapes[0].shape_type == 5
     np.testing.assert_array_equal(shapes[0].points, xy)
     np.testing.assert_array_equal(shapes[0].parts, [0])
+
+
+def test_pil_producer_matrix_cross_read(tmp_path, rng):
+    """Independent-producer matrix: PIL-written TIFFs across codec x band
+    count x strip layout all decode bit-exactly.
+
+    This is the closest stand-in for GDAL variety in a zero-egress image:
+    PIL's TIFF encoder shares none of our code, and shrinking its
+    STRIP_SIZE forces the many-small-strips layout GDAL uses on tall
+    rasters (the reference's substrate, ``MyUtils1.py:309-323``)."""
+    Image = pytest.importorskip("PIL.Image")
+    from PIL import TiffImagePlugin
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    old_strip = TiffImagePlugin.STRIP_SIZE
+    try:
+        # default STRIP_SIZE -> one big strip; 256 bytes -> many strips
+        for strip_size in (old_strip, 256):
+            TiffImagePlugin.STRIP_SIZE = strip_size
+            for comp in (None, "tiff_lzw", "packbits", "tiff_adobe_deflate"):
+                for mode, ch in (("L", 1), ("RGB", 3), ("RGBA", 4)):
+                    img = (rng.rand(29, 37, ch) * 255).astype(np.uint8)
+                    pim = Image.fromarray(img if ch > 1 else img[..., 0])
+                    p = tmp_path / f"m_{strip_size}_{comp}_{mode}.tif"
+                    pim.save(str(p), compression=comp)
+                    out = read_geotiff(str(p)).array
+                    np.testing.assert_array_equal(
+                        out.squeeze(), img.squeeze(),
+                        err_msg=f"strip={strip_size} comp={comp} mode={mode}",
+                    )
+    finally:
+        TiffImagePlugin.STRIP_SIZE = old_strip
+
+    # 16-bit single band: raw sample values survive (deep_pixels policy
+    # applies at load_scene, not in the reader)
+    a16 = (rng.rand(21, 17) * 65535).astype(np.uint16)
+    p16 = tmp_path / "m16.tif"
+    Image.fromarray(a16).save(str(p16))
+    out = read_geotiff(str(p16)).array
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out.squeeze(), a16)
+
+
+def test_pil_consumer_matrix_cross_read(tmp_path, rng):
+    """Independent-consumer matrix: PIL decodes OUR writer's output across
+    compression x container x band count (1/3/4 — the modes PIL can
+    represent) bit-exactly."""
+    Image = pytest.importorskip("PIL.Image")
+
+    from deepmerge_tpu.geodata.geotiff import write_geotiff
+
+    for comp in ("none", "deflate"):
+        for big in (False, True):
+            for ch in (1, 3, 4):
+                arr = rng.randint(0, 256, (33, 27, ch)).astype(np.uint8)
+                p = tmp_path / f"w_{comp}_{big}_{ch}.tif"
+                write_geotiff(str(p), arr, (0.0, 1.0, 0, 0.0, 0, -1.0),
+                              bigtiff=big, compression=comp,
+                              rows_per_strip=8)
+                theirs = np.asarray(Image.open(str(p)))
+                np.testing.assert_array_equal(
+                    theirs.reshape(arr.shape), arr,
+                    err_msg=f"comp={comp} big={big} ch={ch}",
+                )
