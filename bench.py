@@ -116,7 +116,7 @@ def main():
 
     run_once()  # warmup / compile
     phases.clear()
-    runs = int(os.environ.get("BENCH_RUNS", 5))
+    runs = max(1, int(os.environ.get("BENCH_RUNS", 5)))
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()

@@ -65,6 +65,42 @@ def adaptive_scales(inner, obj, patch_targets=(32, 64, 128, 1)):
     return scales, factors
 
 
+def staging_caps(
+    inner: np.ndarray,
+    obj: np.ndarray,
+    patch_sizes,
+    max_window: int,
+    scene_name: str = "",
+) -> tuple[int, ...]:
+    """Per-slot window caps from the data's max adaptive scales, with the
+    clamp-divergence warning (shared by single-device ``stage_scene`` and
+    sharded ``stage_scene_shards`` so the two staging paths can't drift).
+
+    The scale ladder is the reference's inner/object/object+Δ/object+2Δ
+    (``MyUtils1.py:130-156``); scales above ``max_window`` are clamped,
+    which diverges patch content from the reference for those points —
+    warn so the divergence is never silent.
+    """
+    inner64 = np.asarray(inner).astype(np.int64)
+    obj64 = np.asarray(obj).astype(np.int64)
+    ladder = np.stack(
+        [inner64, obj64, 2 * obj64 - inner64, 3 * obj64 - 2 * inner64], 1
+    )
+    max_scales = ladder.max(0)[: len(patch_sizes)]
+    caps = slot_caps(max_scales, max_window)
+    if int(max_scales.max(initial=0)) > max_window:
+        import warnings
+
+        warnings.warn(
+            f"scene '{scene_name}': adaptive scales up to "
+            f"{int(max_scales.max())} exceed data.max_window="
+            f"{max_window}; windows will be clamped (patch content "
+            f"differs from the reference for those points)",
+            stacklevel=3,
+        )
+    return caps
+
+
 def slot_caps(
     max_scales: np.ndarray | tuple[int, ...],
     max_window: int = 512,

@@ -67,7 +67,7 @@ def shard_scene_columns(scene: Scene, n_shards: int) -> tuple[list[SceneShard], 
     cross = strip_of[e[:, 0]] != strip_of[e[:, 1]]
     boundary = e[cross]
     same = e[~cross]
-    same_strip = strip_of[same[:, 0]] if len(same) else np.zeros(0, np.int64)
+    same_strip = strip_of[same[:, 0]]
     shards = []
     for s in range(n_shards):
         owned = np.where(strip_of == s)[0]
@@ -171,31 +171,15 @@ def stage_scene_shards(scene: Scene, cfg, n_shards: int) -> StagedShards:
     views of the global scene. Window content is identical to the global
     staging, hence embeddings are identical.
     """
-    from deepmerge_tpu.ops.patches import pad_scene, scene_pad, slot_caps
+    from deepmerge_tpu.ops.patches import pad_scene, scene_pad, staging_caps
 
     r = scene.regions
     R = r.num_regions
     feats, inner, obj = r.point_meta()
 
-    # global caps (shared static shape across shards)
-    inner64, obj64 = inner.astype(np.int64), obj.astype(np.int64)
-    ladder = np.stack(
-        [inner64, obj64, 2 * obj64 - inner64, 3 * obj64 - 2 * inner64], 1
-    )
-    max_scales = ladder.max(0)[: len(cfg.patch_sizes)]
-    caps = slot_caps(max_scales, cfg.max_window)
-    if int(max_scales.max(initial=0)) > cfg.max_window:
-        # same divergence warning as the single-device stage_scene
-        # (train/sampler.py) — sharded staging clamps identically
-        import warnings
-
-        warnings.warn(
-            f"scene '{scene.name}': adaptive scales up to "
-            f"{int(max_scales.max())} exceed data.max_window="
-            f"{cfg.max_window}; windows will be clamped (patch content "
-            f"differs from the reference for those points)",
-            stacklevel=2,
-        )
+    # global caps (shared static shape across shards); warns on clamping
+    caps = staging_caps(inner, obj, cfg.patch_sizes, cfg.max_window,
+                        scene_name=scene.name)
     c = scene.image.shape[-1]
     halo = scene_pad(caps, c)  # max window half-extent + DMA alignment spill
 
@@ -492,6 +476,12 @@ def extract_and_merge_sharded(
     )
     fn = _MERGE_FN_CACHE.get(key)
     if fn is None:
+        # bind scalars, NOT `staged`/`cfg` — the closure outlives the scene
+        # in the module-global cache, and capturing staged would pin its
+        # full pixel tiles (tens of MB per real mosaic) forever
+        caps = staged.caps
+        quantize = cfg.quantize_uint8
+
         def local(params, bs_, tile, centers, feats, scl, fac, pr, edges,
                   evalid, thr):
             tile, centers, feats = tile[0], centers[0], feats[0]
@@ -500,7 +490,7 @@ def extract_and_merge_sharded(
             patches = extract_multiscale_patches(
                 tile, centers, scl,
                 patch_sizes=tuple(mcfg.input_image_scales),
-                caps=staged.caps, quantize_uint8=cfg.quantize_uint8,
+                caps=caps, quantize_uint8=quantize,
                 out_channels=mcfg.in_channels,
                 out_dtype=jnp.dtype(mcfg.dtype),
             )

@@ -31,7 +31,7 @@ from deepmerge_tpu.ops.patches import (
     adaptive_scales,
     extract_multiscale_patches,
     pad_scene,
-    slot_caps,
+    staging_caps,
 )
 
 
@@ -53,24 +53,9 @@ class DeviceScene:
 def stage_scene(scene: Scene, cfg: DataConfig) -> DeviceScene:
     feats, inner, obj = scene.regions.point_meta()
     # per-slot window caps from the data's max adaptive scales (static per
-    # scene — one compile per cap signature)
-    inner64 = inner.astype(np.int64)
-    obj64 = obj.astype(np.int64)
-    ladder = np.stack(
-        [inner64, obj64, 2 * obj64 - inner64, 3 * obj64 - 2 * inner64], 1
-    )
-    max_scales = ladder.max(0)[: len(cfg.patch_sizes)]
-    caps = slot_caps(max_scales, cfg.max_window)
-    if int(max_scales.max(initial=0)) > cfg.max_window:
-        import warnings
-
-        warnings.warn(
-            f"scene '{scene.name}': adaptive scales up to "
-            f"{int(max_scales.max())} exceed data.max_window="
-            f"{cfg.max_window}; windows will be clamped (patch content "
-            f"differs from the reference for those points)",
-            stacklevel=2,
-        )
+    # scene — one compile per cap signature); warns on clamping
+    caps = staging_caps(inner, obj, cfg.patch_sizes, cfg.max_window,
+                        scene_name=scene.name)
     return DeviceScene(
         padded=jnp.asarray(pad_scene(scene.image, caps)),
         points_yx=scene.regions.points_yx,
