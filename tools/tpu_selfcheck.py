@@ -226,6 +226,25 @@ def check_resize():
               got[slot], np.stack(want), atol=1 / 255.0 + 1e-6, rtol=0)
 
 
+def check_labelmap():
+    """Device dense-relabel + (H, W) expansion vs host np.unique semantics
+    (``ops.merged_label_map`` — jnp.sort/searchsorted + HBM gather on chip)."""
+    from deepmerge_tpu.ops.labelprop import merged_label_map
+
+    r = np.random.RandomState(7)
+    n = 513
+    labels = np.minimum(np.arange(n), r.randint(0, n, n)).astype(np.int32)
+    region_map = r.randint(0, n, (257, 384)).astype(np.int32)
+    map_dev, k_dev = merged_label_map(
+        jnp.asarray(labels), jnp.asarray(region_map)
+    )
+    uniq, dense = np.unique(labels, return_inverse=True)
+    check("merged_label_map (H,W) expansion", map_dev,
+          dense.astype(np.int32)[region_map], atol=0, rtol=0)
+    check("merged_label_map cluster count", k_dev, np.int32(len(uniq)),
+          atol=0, rtol=0)
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend: {backend}  devices: {jax.devices()}")
@@ -245,6 +264,8 @@ def main():
     check_attention_variants()
     print("[resize]")
     check_resize()
+    print("[label map]")
+    check_labelmap()
     if FAILURES:
         print(f"SELFCHECK FAILED: {FAILURES}")
         return 1
