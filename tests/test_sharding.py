@@ -317,3 +317,38 @@ def test_distributed_merge_warns_on_knife_edge():
         distributed_merge(emb, pr, 2, edges, mesh, threshold=2.0,
                           max_rounds=4)
     assert not any("knife edge" in str(x.message) for x in w)
+
+
+def test_distributed_merge_program_cache_reuse():
+    """Same (mesh, shapes) signature with a DIFFERENT threshold must hit the
+    compiled-program cache: threshold is a traced argument, and recompiles
+    cost minutes each through the remote-compile relay."""
+    from deepmerge_tpu.parallel import distributed
+    from deepmerge_tpu.parallel.distributed import distributed_merge
+
+    rng = np.random.RandomState(11)
+    R, P, E = 19, 29, 23
+    emb = rng.randn(P, 4).astype(np.float32)
+    pr = rng.randint(0, R, P).astype(np.int32)
+    edges = rng.randint(0, R, (E, 2)).astype(np.int32)
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+
+    before = dict(distributed._MERGE_FN_CACHE)
+    try:
+        distributed._MERGE_FN_CACHE.clear()
+        distributed_merge(emb, pr, R, edges, mesh, threshold=0.5)
+        assert len(distributed._MERGE_FN_CACHE) == 1
+        fn = next(iter(distributed._MERGE_FN_CACHE.values()))
+        # threshold sweep + identical-shape rerun: same ONE cached program
+        distributed_merge(emb, pr, R, edges, mesh, threshold=2.5)
+        distributed_merge(emb, pr, R, edges, mesh, threshold=0.5)
+        assert len(distributed._MERGE_FN_CACHE) == 1
+        assert next(iter(distributed._MERGE_FN_CACHE.values())) is fn
+        # a different static signature (num_regions) gets its own entry;
+        # plain shape changes are handled by jax.jit's own per-shape cache
+        distributed_merge(emb, pr % (R - 1), R - 1, edges % (R - 1), mesh,
+                          threshold=0.5)
+        assert len(distributed._MERGE_FN_CACHE) == 2
+    finally:
+        distributed._MERGE_FN_CACHE.clear()
+        distributed._MERGE_FN_CACHE.update(before)
