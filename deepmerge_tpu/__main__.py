@@ -101,6 +101,11 @@ def main(argv=None):
     p_pf.add_argument("--shapefiles", required=True)
     p_pf.add_argument("--checkpoint-dir")
     p_pf.add_argument(
+        "--mesh", action="store_true",
+        help="shard each scene's extraction + merge over all devices "
+        "(data-axis shard_map extraction; exact psum/pmin collective merge)",
+    )
+    p_pf.add_argument(
         "--deep-pixels", choices=("error", "shift", "clip"), default="error",
         help="handling for >8-bit rasters (uint16 etc.)",
     )
@@ -368,9 +373,16 @@ def main(argv=None):
     if args.cmd == "process-folder":
         from deepmerge_tpu.infer.driver import process_folder
 
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from deepmerge_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
         done = process_folder(cfg, args.images, args.shapefiles,
                               args.checkpoint_dir,
-                              deep_pixels=args.deep_pixels)
+                              deep_pixels=args.deep_pixels, mesh=mesh)
         print(f"processed {len(done)} scenes")
         return 0
 

@@ -72,6 +72,7 @@ def process_scene(
     timings: Optional[Timings] = None,
     log_fn=print,
     extractor: Optional[FeatureExtractor] = None,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, Optional[MergeResult]]:
     """Extract → score → (merge) one scene.
 
@@ -81,6 +82,10 @@ def process_scene(
     ``extractor`` lets multi-scene callers reuse ONE FeatureExtractor (its
     jit cache lives on the instance — a fresh one per scene recompiles the
     whole fused pipeline even for identically-shaped tiles).
+    ``mesh`` runs extraction shard_map-sharded over the mesh's data axis
+    and the merge with the exact psum/pmin collective rounds
+    (``parallel.distributed.distributed_merge``) — same partition as
+    single-device, memory and FLOPs spread across the mesh.
     """
     if model is None:
         model, params, batch_stats = load_params(cfg)
@@ -88,7 +93,8 @@ def process_scene(
 
     if extractor is None:
         extractor = FeatureExtractor(
-            model, params, batch_stats, batch_size=cfg.data.eval_batch_size
+            model, params, batch_stats, batch_size=cfg.data.eval_batch_size,
+            mesh=mesh,
         )
     store = FeatureStore(h5_path) if h5_path else None
     try:
@@ -117,7 +123,19 @@ def process_scene(
                 np.quantile(simi, cfg.merge.threshold_quantile, method="lower")
             )
         with phase_timer(timings, "merge"):
-            if cfg.merge.engine == "device":
+            if mesh is not None and cfg.merge.engine == "device":
+                from deepmerge_tpu.infer.merge import labels_to_result
+                from deepmerge_tpu.parallel.distributed import (
+                    distributed_merge,
+                )
+
+                labels, rounds = distributed_merge(
+                    emb, scene.regions.point_region,
+                    scene.regions.num_regions, scene.rag.edges, mesh,
+                    threshold=thr, max_rounds=cfg.merge.max_rounds,
+                )
+                result = labels_to_result(labels, rounds, scene)
+            elif cfg.merge.engine == "device":
                 from deepmerge_tpu.infer.merge import merge_scene_device
 
                 result = merge_scene_device(
@@ -147,10 +165,13 @@ def process_folder(
     checkpoint_path: Optional[str] = None,
     log_fn=print,
     deep_pixels: str = "error",
+    mesh=None,
 ) -> list[str]:
     """Walk per-scene shapefile folders like the reference's multi-scene
     driver (``ExtractFeatures.py:241-303``): each subfolder holds
-    PointsGCS.shp (+ lines.shp), the raster is ``<folder>.tif``."""
+    PointsGCS.shp (+ lines.shp), the raster is ``<folder>.tif``.
+    ``mesh`` spreads each scene's extraction and merge over the mesh's
+    data axis (see ``process_scene``)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from deepmerge_tpu.geodata.ingest import load_scene
@@ -160,7 +181,8 @@ def process_folder(
     # common mosaic case, ExtractFeatures.py:257-299) then hit the jit
     # cache instead of recompiling per scene
     extractor = FeatureExtractor(
-        model, params, batch_stats, batch_size=cfg.data.eval_batch_size
+        model, params, batch_stats, batch_size=cfg.data.eval_batch_size,
+        mesh=mesh,
     )
     jobs = []
     for entry in sorted(os.listdir(shp_folder)):
@@ -201,7 +223,7 @@ def process_folder(
                 process_scene(
                     cfg, scene, model, params, batch_stats,
                     h5_path=h5, lines_path=lines, log_fn=log_fn,
-                    extractor=extractor,
+                    extractor=extractor, mesh=mesh,
                 )
                 done.append(entry)
             except Exception as e:  # one bad scene must not kill the batch walk

@@ -255,11 +255,23 @@ def merge_scene_device(
         num_regions=r,
         max_rounds=max_rounds,
     )
+    return labels_to_result(labels, rounds,
+                            edges_scored=int(rounds) * int(np.sum(valid)))
+
+
+def labels_to_result(labels, rounds, scene: Scene | None = None,
+                     edges_scored: int | None = None) -> MergeResult:
+    """Densify min-member-id labels (``device_merge`` /
+    ``distributed_merge`` output) into a MergeResult on the host."""
     labels = np.asarray(labels)
     uniq, dense = np.unique(labels, return_inverse=True)
+    if edges_scored is None:
+        edges_scored = int(rounds) * (
+            len(scene.rag.edges) if scene is not None else 0
+        )
     return MergeResult(
         region_to_cluster=dense.astype(np.int32),
         num_clusters=len(uniq),
         rounds=int(rounds),
-        edges_scored=int(rounds) * int(np.sum(valid)),
+        edges_scored=edges_scored,
     )

@@ -293,3 +293,50 @@ def test_deep_pixels_int16_and_float(tmp_path):
     ).astype(np.uint8)
     expect[:4, :4] = 0
     assert np.abs(loaded.image.astype(int) - expect.astype(int)).max() <= 1
+
+
+def test_process_folder_mesh(tmp_path):
+    """The multi-scene walk with a device mesh: shard_map extraction +
+    collective merge per scene, same outputs as the reference layout walk."""
+    import dataclasses
+    import os
+
+    import jax
+
+    from deepmerge_tpu.config import Config, DataConfig, MergeConfig, ModelConfig
+    from deepmerge_tpu.geodata.shapefile import ShapefileTable
+    from deepmerge_tpu.infer.driver import process_folder
+    from deepmerge_tpu.parallel.mesh import make_mesh
+
+    images = tmp_path / "images"
+    shps = tmp_path / "shps"
+    scene = generate_scene(h=96, w=96, n_regions=10, n_objects=3,
+                           seed=1, name="tile1")
+    paths = export_scene(scene, str(tmp_path / "stage"))
+    os.makedirs(images, exist_ok=True)
+    os.makedirs(shps / scene.name, exist_ok=True)
+    os.rename(paths["image"], images / f"{scene.name}.tif")
+    for ext in (".shp", ".shx", ".dbf"):
+        os.rename(str(tmp_path / "stage" / f"{scene.name}{ext}"),
+                  shps / f"{scene.name}{ext}")
+        for base in ("PointsGCS", "lines"):
+            src = tmp_path / "stage" / scene.name / f"{base}{ext}"
+            if src.exists():
+                os.rename(str(src), shps / scene.name / f"{base}{ext}")
+
+    cfg = Config(
+        model=ModelConfig(variant="v3", input_image_scales=(16, 32, 64),
+                          cube=8, embed_dim=32, depth=(1, 1, 1), num_heads=4,
+                          out_dim=8, dtype="float32"),
+        data=DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+                        eval_batch_size=16),
+        merge=MergeConfig(engine="device"),
+    )
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    done = process_folder(cfg, str(images), str(shps),
+                          log_fn=lambda *_: None, mesh=mesh)
+    assert done == ["tile1"]
+    h5 = shps / "tile1" / f"{cfg.model.name}_features.h5"
+    assert h5.exists()
+    lines = ShapefileTable.read(str(shps / "tile1" / "lines.shp"))
+    assert "simi" in lines.field_names()

@@ -223,3 +223,28 @@ def test_extraction_chunks_are_balanced(tiny_model_cfg, tiny_data_cfg):
     # and the embeddings still come out right
     emb = ex.extract_scene_device(scene, tiny_data_cfg, device_scene=ds)
     assert emb.shape == (n, tiny_model_cfg.out_dim)
+
+
+def test_process_scene_mesh_matches_single_device(tiny_model_cfg,
+                                                  tiny_data_cfg):
+    """Driver-level mesh path (shard_map extraction + collective merge)
+    produces the same embeddings, simi and partition as single-device."""
+    from deepmerge_tpu.infer.driver import process_scene
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.parallel.mesh import make_mesh
+
+    scene = generate_scene(h=128, w=128, n_regions=24, n_objects=5, seed=13)
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    model = build_model(tiny_model_cfg)
+    params = init_params(model, jax.random.key(0))["params"]
+
+    emb1, simi1, res1 = process_scene(cfg, scene, model, params, None,
+                                      log_fn=lambda *_: None)
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    emb2, simi2, res2 = process_scene(cfg, scene, model, params, None,
+                                      log_fn=lambda *_: None, mesh=mesh)
+    np.testing.assert_allclose(emb2, emb1, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(simi2, simi1, atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(res2.region_to_cluster,
+                                  res1.region_to_cluster)
+    assert res2.num_clusters == res1.num_clusters
