@@ -13,7 +13,8 @@ image, so this module implements the raster subset the pipeline needs:
     lossy image codecs JPEG(7, incl. shared JPEGTables) and WebP(50001)
     via Pillow — together covering every compression GDAL commonly writes
     for remote-sensing mosaics
-  * GeoTIFF geotransform from ModelPixelScale(33550) + ModelTiepoint(33922)
+  * GeoTIFF geotransform from ModelPixelScale(33550) + ModelTiepoint(33922),
+    or ModelTransformation(34264) for rotated/sheared rasters
   * writer: uncompressed striped uint8, with geo tags; classic or BigTIFF
 
 The reader exposes GDAL-like windowed access (``read_window``) with the same
@@ -56,6 +57,7 @@ _SAMPLE_FORMAT = 339
 _JPEG_TABLES = 347
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
+_MODEL_TRANSFORMATION = 34264
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -364,6 +366,12 @@ def read_geotiff(path: str) -> GeoTiff:
         origin_x = tp[3] - tp[0] * sx
         origin_y = tp[4] + tp[1] * sy
         gt = (origin_x, sx, 0.0, origin_y, 0.0, -sy)
+    elif _MODEL_TRANSFORMATION in tags:
+        # 4x4 row-major geo transform matrix (GDAL writes this instead of
+        # scale+tiepoint for rotated/sheared rasters):
+        #   X = m[0]*col + m[1]*row + m[3];  Y = m[4]*col + m[5]*row + m[7]
+        m = tags[_MODEL_TRANSFORMATION]
+        gt = (m[3], m[0], m[1], m[7], m[4], m[5])
     return GeoTiff(array=np.ascontiguousarray(img), geotransform=gt,
                    meta={"compression": comp})
 

@@ -598,3 +598,48 @@ def test_pil_consumer_matrix_cross_read(tmp_path, rng):
                     theirs.reshape(arr.shape), arr,
                     err_msg=f"comp={comp} big={big} ch={ch}",
                 )
+
+
+def test_geotiff_model_transformation_tag(tmp_path, rng):
+    """GDAL writes ModelTransformation(34264) instead of scale+tiepoint for
+    rotated/sheared rasters; the geotransform comes from the 4x4 matrix."""
+    import struct
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    img = (rng.rand(5, 7, 3) * 255).astype(np.uint8)
+    h, w, c = img.shape
+    # X = 2*col - 0.5*row + 1000 ; Y = 0.25*col - 3*row + 2000
+    mat = [2.0, -0.5, 0.0, 1000.0,
+           0.25, -3.0, 0.0, 2000.0,
+           0.0, 0.0, 0.0, 0.0,
+           0.0, 0.0, 1.0, 0.0]
+
+    def e(tag, typ, count, val):
+        if typ == 3:
+            return struct.pack("<HHIHH", tag, typ, count, val, 0)
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    n = 10
+    ifd_size = 2 + n * 12 + 4
+    mat_off = 8 + ifd_size
+    data_off = mat_off + 16 * 8
+    payload = img.tobytes()
+    entries = [
+        e(256, 4, 1, w), e(257, 4, 1, h), e(258, 3, 1, 8),
+        e(259, 3, 1, 1), e(262, 3, 1, 2),
+        e(273, 4, 1, data_off), e(277, 3, 1, c), e(278, 4, 1, h),
+        e(279, 4, 1, len(payload)),
+        e(34264, 12, 16, mat_off),
+    ]
+    raw = (
+        b"II" + np.uint16(42).tobytes() + np.uint32(8).tobytes()
+        + np.uint16(n).tobytes() + b"".join(entries)
+        + np.uint32(0).tobytes()
+        + struct.pack("<16d", *mat) + payload
+    )
+    p = tmp_path / "modeltransform.tif"
+    p.write_bytes(raw)
+    out = read_geotiff(str(p))
+    np.testing.assert_array_equal(out.array, img)
+    assert out.geotransform == (1000.0, 2.0, -0.5, 2000.0, 0.25, -3.0)
