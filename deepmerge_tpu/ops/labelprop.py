@@ -80,6 +80,15 @@ def device_score_and_merge(
     initial region pooling → edge distances (the ``simi`` attribute) →
     threshold = quantile of valid distances → iterative device merge.
 
+    NB the quantile threshold is NOT a reference semantic — the reference
+    stops at scored edges (``ExtractFeatures.py:150-225``) and never
+    thresholds. The quantile (floor-index, matching
+    ``np.quantile(method='lower')``) is a scale-free default for
+    single-dispatch pipelines with untrained/uncalibrated embeddings;
+    deployments should calibrate an absolute threshold on a labeled
+    validation scene (``infer/calibrate.py``, ``calibrate`` CLI) and pass
+    it via ``cfg.merge.threshold`` / ``device_merge`` instead.
+
     Returns (simi (E,), labels (R,), rounds); padded simi rows are +inf.
     """
     emb = point_embeddings.astype(jnp.float32)
