@@ -205,3 +205,46 @@ def test_merged_label_map_single_cluster(rng):
     region_map = rng.randint(0, 9, (4, 5)).astype(np.int32)
     map_dev, n_dev = merged_label_map(jnp.asarray(labels), jnp.asarray(region_map))
     assert int(n_dev) == 1 and np.asarray(map_dev).max() == 0
+
+
+def test_three_engines_agree_fuzz():
+    """Fuzz: host union-find, one-dispatch device merge, and the collective
+    distributed merge produce the SAME partition on random embeddings/edges
+    across seeds and thresholds (shapes fixed so compiled programs are
+    reused; thresholds drawn from the distance distribution so merges
+    actually trigger at every depth)."""
+    import jax
+
+    from deepmerge_tpu.infer.merge import MergeEngine
+    from deepmerge_tpu.ops.labelprop import device_merge
+    from deepmerge_tpu.parallel.distributed import distributed_merge
+    from deepmerge_tpu.parallel.mesh import make_mesh
+
+    R, P, E = 41, 67, 59
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    for seed in range(8):
+        r = np.random.RandomState(100 + seed)
+        emb = r.randn(P, 6).astype(np.float32)
+        pr = r.randint(0, R, P).astype(np.int32)
+        edges = r.randint(0, R, (E, 2)).astype(np.int32)
+        # thresholds at the 20th/60th percentile of initial edge distances
+        from deepmerge_tpu.ops.segment import segment_mean, edge_distances
+        remb = segment_mean(jnp.asarray(emb), jnp.asarray(pr), R)
+        d = np.asarray(edge_distances(remb, jnp.asarray(edges),
+                                      jnp.ones(E, bool)))
+        for q in (0.2, 0.6):
+            thr = float(np.quantile(d, q)) + 1e-3
+            host = MergeEngine(thr, max_rounds=12).run(emb, pr, R, edges)
+            dev_labels, _ = device_merge(
+                jnp.asarray(emb), jnp.asarray(pr), jnp.asarray(edges),
+                jnp.ones(E, bool), thr, num_regions=R, max_rounds=12,
+            )
+            dist_labels, _ = distributed_merge(
+                emb, pr, R, edges, mesh, threshold=thr, max_rounds=12,
+            )
+            _, dev_dense = np.unique(np.asarray(dev_labels),
+                                     return_inverse=True)
+            np.testing.assert_array_equal(
+                host.region_to_cluster, dev_dense, f"seed={seed} q={q}")
+            np.testing.assert_array_equal(
+                np.asarray(dev_labels), dist_labels, f"seed={seed} q={q}")
