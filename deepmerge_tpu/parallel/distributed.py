@@ -16,6 +16,7 @@ The reference handles big scenes by walking tile folders sequentially
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -362,9 +363,7 @@ def distributed_merge(
     Returns (labels (R,) min-member ids, rounds) — bit-identical to
     ``ops/labelprop.device_merge`` (see ``_collective_merge_rounds``).
     """
-    import jax
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
 
     S = mesh.shape[axis]
     R = num_regions
@@ -393,8 +392,26 @@ def distributed_merge(
 # compiled shard_map programs keyed per (mesh, axis, R, rounds, sweeps) —
 # rebuilding jax.jit(shard_map(...)) per CALL would recompile identical
 # programs (minutes each through the remote-compile relay) on every
-# threshold sweep or same-shaped scene; threshold is a traced argument
-_MERGE_FN_CACHE: dict = {}
+# threshold sweep or same-shaped scene; threshold is a traced argument.
+# Bounded LRU: heterogeneous folder walks mint one entry per distinct
+# scene signature (R and staged caps are in the extract key), and each
+# entry pins a compiled executable — unbounded growth would leak programs
+# on multi-hundred-scene jobs.
+_MERGE_FN_CACHE: OrderedDict = OrderedDict()
+_MERGE_FN_CACHE_MAX = 16
+
+
+def _merge_cache_put(key, fn):
+    _MERGE_FN_CACHE[key] = fn
+    while len(_MERGE_FN_CACHE) > _MERGE_FN_CACHE_MAX:
+        _MERGE_FN_CACHE.popitem(last=False)
+
+
+def _merge_cache_get(key):
+    fn = _MERGE_FN_CACHE.get(key)
+    if fn is not None:
+        _MERGE_FN_CACHE.move_to_end(key)
+    return fn
 
 
 def _merge_shardmap_fn(mesh, axis, R, max_rounds, sweeps):
@@ -402,7 +419,7 @@ def _merge_shardmap_fn(mesh, axis, R, max_rounds, sweeps):
     from jax.sharding import PartitionSpec as P
 
     key = (mesh, axis, R, max_rounds, sweeps)
-    fn = _MERGE_FN_CACHE.get(key)
+    fn = _merge_cache_get(key)
     if fn is None:
         def local(emb, pr, e, ev, thr):
             return _collective_merge_rounds(
@@ -417,7 +434,7 @@ def _merge_shardmap_fn(mesh, axis, R, max_rounds, sweeps):
                 check_vma=False,
             )
         )
-        _MERGE_FN_CACHE[key] = fn
+        _merge_cache_put(key, fn)
     return fn
 
 
@@ -474,7 +491,7 @@ def extract_and_merge_sharded(
         tuple(cfg.patch_sizes), cfg.quantize_uint8, has_bs,
         jax.tree.structure(params), jax.tree.structure(batch_stats),
     )
-    fn = _MERGE_FN_CACHE.get(key)
+    fn = _merge_cache_get(key)
     if fn is None:
         # bind scalars, NOT `staged`/`cfg` — the closure outlives the scene
         # in the module-global cache, and capturing staged would pin its
@@ -522,7 +539,7 @@ def extract_and_merge_sharded(
                 check_vma=False,
             )
         )
-        _MERGE_FN_CACHE[key] = fn
+        _merge_cache_put(key, fn)
     labels, rounds, margin = fn(
         params,
         batch_stats,
