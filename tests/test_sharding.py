@@ -352,3 +352,20 @@ def test_distributed_merge_program_cache_reuse():
     finally:
         distributed._MERGE_FN_CACHE.clear()
         distributed._MERGE_FN_CACHE.update(before)
+
+
+def test_merge_cache_lru_eviction(monkeypatch):
+    """The compiled-program cache is a bounded LRU: oldest-unused entries
+    are evicted, hits refresh recency."""
+    from deepmerge_tpu.parallel import distributed as d
+
+    monkeypatch.setattr(d, "_MERGE_FN_CACHE", type(d._MERGE_FN_CACHE)())
+    monkeypatch.setattr(d, "_MERGE_FN_CACHE_MAX", 2)
+    d._merge_cache_put("a", 1)
+    d._merge_cache_put("b", 2)
+    assert d._merge_cache_get("a") == 1   # refreshes 'a'
+    d._merge_cache_put("c", 3)            # evicts 'b' (least recent)
+    assert d._merge_cache_get("b") is None
+    assert d._merge_cache_get("a") == 1
+    assert d._merge_cache_get("c") == 3
+    assert len(d._MERGE_FN_CACHE) == 2
