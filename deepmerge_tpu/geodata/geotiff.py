@@ -228,8 +228,16 @@ class GeoTiff:
 
 
 def read_geotiff(path: str) -> GeoTiff:
+    import mmap
+
+    # mmap instead of slurping: strip/tile slices page in on demand, so a
+    # multi-GB BigTIFF mosaic doesn't hold raw-bytes + decoded-array peak
+    # RSS (block slices are small copies; no views into the map escape)
     with open(path, "rb") as f:
-        data = f.read()
+        try:
+            data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file
+            data = f.read()
     bo = data[:2]
     if bo == b"II":
         e = "<"
@@ -290,6 +298,11 @@ def read_geotiff(path: str) -> GeoTiff:
     predictor = tags.get(_PREDICTOR, [1])[0]
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar configuration {planar}")
+    if predictor not in (1, 2):
+        # 3 = floating-point horizontal differencing (GDAL PREDICTOR=3 on
+        # float rasters) — decoding it as raw bytes would yield garbage
+        # pixels with no error, so refuse loudly instead
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     dtype = {
         (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
         (2, 16): np.int16, (2, 32): np.int32, (3, 32): np.float32,
@@ -372,6 +385,8 @@ def read_geotiff(path: str) -> GeoTiff:
         #   X = m[0]*col + m[1]*row + m[3];  Y = m[4]*col + m[5]*row + m[7]
         m = tags[_MODEL_TRANSFORMATION]
         gt = (m[3], m[0], m[1], m[7], m[4], m[5])
+    if isinstance(data, mmap.mmap):
+        data.close()  # img is fully materialized; nothing views the map
     return GeoTiff(array=np.ascontiguousarray(img), geotransform=gt,
                    meta={"compression": comp})
 

@@ -108,13 +108,27 @@ def load_scene(
         for pid in ids:
             point_region[pid] = rid
 
-    inner = np.asarray(
-        [int(v) for v in pts.get_field("inner")], np.int32
-    )
-    obj = np.asarray([int(v) for v in pts.get_field("object")], np.int32)
+    def _int_field(name):
+        vals = pts.get_field(name)
+        for i, v in enumerate(vals):
+            if v is None:
+                raise ValueError(
+                    f"{points_path}: point record {i} has a blank "
+                    f"'{name}' attribute (dBase NULL) — the reference "
+                    f"pipeline requires inner/object scales on every point"
+                )
+        return np.asarray([int(v) for v in vals], np.int32)
+
+    inner = _int_field("inner")
+    obj = _int_field("object")
 
     centers = np.zeros((len(pts), 2), np.int32)
     for i, s in enumerate(pts.shapes):
+        if len(s.points) == 0:  # null shape (type 0) in the point layer
+            raise ValueError(
+                f"{points_path}: point record {i} is a null shape "
+                f"(no geometry) — repack the layer or remove the record"
+            )
         y, x = tif.geo_to_pixel(s.x, s.y)
         centers[i] = (y, x)
 
@@ -206,8 +220,8 @@ class EdgePairDataset:
                 if a is None or b is None:
                     continue
                 a, b = int(a), int(b)
-                if a == -1 or b == -1:  # scene-border half-edges
-                    continue
+                if a < 0 or b < 0:  # scene-border half-edges (same
+                    continue       # predicate as load_scene/write_simi)
                 self.data.append((fid, name, a, b))
 
     @classmethod
@@ -362,13 +376,28 @@ def export_scene(
     pts_of = [[] for _ in range(reg.num_regions)]
     for i, rid in enumerate(reg.point_region):
         pts_of[int(rid)].append(i)
+    # one vectorized pass over the label map for ALL region bboxes (the
+    # per-region np.where scan was O(R*H*W) — minutes on real mosaics)
+    ys_all, xs_all = np.indices(scene.labels.shape)
+    flat = scene.labels.ravel()
+    R = reg.num_regions
+    valid = (flat >= 0) & (flat < R)
+    lab = flat[valid]
+    yv, xv = ys_all.ravel()[valid], xs_all.ravel()[valid]
+    y0 = np.full(R, scene.labels.shape[0], np.int64)
+    x0 = np.full(R, scene.labels.shape[1], np.int64)
+    y1 = np.full(R, -1, np.int64)
+    x1 = np.full(R, -1, np.int64)
+    np.minimum.at(y0, lab, yv)
+    np.maximum.at(y1, lab, yv)
+    np.minimum.at(x0, lab, xv)
+    np.maximum.at(x1, lab, xv)
     for rid in range(reg.num_regions):
-        ys, xs = np.where(scene.labels == rid)
-        if len(ys):
+        if y1[rid] >= 0:
             box = [
-                (xs.min(), ys.min()), (xs.max() + 1, ys.min()),
-                (xs.max() + 1, ys.max() + 1), (xs.min(), ys.max() + 1),
-                (xs.min(), ys.min()),
+                (x0[rid], y0[rid]), (x1[rid] + 1, y0[rid]),
+                (x1[rid] + 1, y1[rid] + 1), (x0[rid], y1[rid] + 1),
+                (x0[rid], y0[rid]),
             ]
         else:
             box = [(0, 0)] * 5

@@ -50,6 +50,10 @@ class Shape:
     shape_type: int
     points: np.ndarray                  # (N, 2) float64 (x, y)
     parts: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int32))
+    # original record content bytes (set by the reader): preserved verbatim
+    # on save so read-modify-write cycles (write_simi's add-a-field rewrite)
+    # never strip Z/M geometry the 2-D normalization above can't represent
+    raw: bytes | None = None
 
     @property
     def x(self) -> float:
@@ -69,11 +73,18 @@ class ShapefileTable:
         shapes: list[Shape],
         fields: list[DbfField],
         records: list[dict],
+        raw_shape_type: int | None = None,
+        header_ranges: tuple[float, ...] | None = None,
     ):
         self.shape_type = shape_type
         self.shapes = shapes
         self.fields = fields
         self.records = records
+        # file-level type incl. the Z/M variant + the header's 8 bbox/range
+        # doubles, kept so a read-modify-write of ATTRIBUTES preserves the
+        # layer type and z/m ranges byte-identically
+        self.raw_shape_type = raw_shape_type or shape_type
+        self.header_ranges = header_ranges
 
     def __len__(self) -> int:
         return len(self.shapes)
@@ -103,13 +114,21 @@ class ShapefileTable:
     @staticmethod
     def read(path: str) -> "ShapefileTable":
         base, _ = os.path.splitext(path)
-        shape_type, shapes = _read_shp(base + ".shp")
-        fields, records = _read_dbf(base + ".dbf")
-        return ShapefileTable(shape_type, shapes, fields, records)
+        shape_type, shapes, raw_type, ranges = _read_shp_full(base + ".shp")
+        fields, records, deleted = _read_dbf_full(base + ".dbf")
+        if any(deleted) and len(deleted) == len(shapes):
+            # dBase deletion flags (editors that don't repack): drop the
+            # flagged records AND their geometry together so shapes[] and
+            # records[] stay index-aligned (OGR does the same)
+            shapes = [s for s, d in zip(shapes, deleted) if not d]
+        records = [r for r, d in zip(records, deleted) if not d]
+        return ShapefileTable(shape_type, shapes, fields, records,
+                              raw_shape_type=raw_type, header_ranges=ranges)
 
     def save(self, path: str) -> None:
         base, _ = os.path.splitext(path)
-        _write_shp(base + ".shp", base + ".shx", self.shape_type, self.shapes)
+        _write_shp(base + ".shp", base + ".shx", self.raw_shape_type,
+                   self.shapes, header_ranges=self.header_ranges)
         _write_dbf(base + ".dbf", self.fields, self.records)
 
 
@@ -128,14 +147,25 @@ def _bbox(shapes: list[Shape]) -> tuple[float, float, float, float]:
 
 
 def _read_shp(path: str) -> tuple[int, list[Shape]]:
+    shape_type, shapes, _, _ = _read_shp_full(path)
+    return shape_type, shapes
+
+
+def _read_shp_full(
+    path: str,
+) -> tuple[int, list[Shape], int, tuple[float, ...]]:
+    """Returns (base_shape_type, shapes, raw_file_shape_type, the header's
+    8 bbox/range doubles). Each Shape keeps its original record bytes in
+    ``raw`` so attribute-only rewrites round-trip Z/M geometry verbatim."""
     with open(path, "rb") as f:
         data = f.read()
     code, = struct.unpack(">i", data[0:4])
     if code != 9994:
         raise ValueError(f"{path}: not a shapefile (code {code})")
     file_len_words, = struct.unpack(">i", data[24:28])
-    shape_type, = struct.unpack("<i", data[32:36])
-    shape_type = _ZM_TO_BASE.get(shape_type, shape_type)
+    raw_type, = struct.unpack("<i", data[32:36])
+    ranges = struct.unpack("<8d", data[36:100])
+    shape_type = _ZM_TO_BASE.get(raw_type, raw_type)
     shapes: list[Shape] = []
     off = 100
     end = file_len_words * 2
@@ -147,21 +177,26 @@ def _read_shp(path: str) -> tuple[int, list[Shape]]:
         stype, = struct.unpack("<i", rec[0:4])
         stype = _ZM_TO_BASE.get(stype, stype)
         if stype == 0:  # null shape
-            shapes.append(Shape(0, np.zeros((0, 2))))
+            shapes.append(Shape(0, np.zeros((0, 2)), raw=rec))
         elif stype == SHP_POINT:
             x, y = struct.unpack("<dd", rec[4:20])
-            shapes.append(Shape(stype, np.array([[x, y]])))
+            shapes.append(Shape(stype, np.array([[x, y]]), raw=rec))
         elif stype in (SHP_POLYLINE, SHP_POLYGON):
             nparts, npoints = struct.unpack("<ii", rec[36:44])
             parts = np.frombuffer(rec, "<i4", nparts, 44)
             pts = np.frombuffer(rec, "<f8", npoints * 2, 44 + nparts * 4)
-            shapes.append(Shape(stype, pts.reshape(-1, 2).copy(), parts.copy()))
+            shapes.append(Shape(stype, pts.reshape(-1, 2).copy(),
+                                parts.copy(), raw=rec))
         else:
             raise NotImplementedError(f"shape type {stype}")
-    return shape_type, shapes
+    return shape_type, shapes, raw_type, ranges
 
 
 def _shape_record_bytes(s: Shape) -> bytes:
+    if s.raw is not None:
+        # reader-provided original content: geometry is never mutated by
+        # the pipeline, so write it back verbatim (preserves Z/M payloads)
+        return s.raw
     if s.shape_type == 0 or len(s.points) == 0:
         return struct.pack("<i", 0)
     if s.shape_type == SHP_POINT:
@@ -176,17 +211,21 @@ def _shape_record_bytes(s: Shape) -> bytes:
     )
 
 
-def _write_shp(shp_path: str, shx_path: str, shape_type: int, shapes: list[Shape]):
+def _write_shp(shp_path: str, shx_path: str, shape_type: int,
+               shapes: list[Shape], header_ranges=None):
     recs = [_shape_record_bytes(s) for s in shapes]
     total = 100 + sum(8 + len(r) for r in recs)
-    xmin, ymin, xmax, ymax = _bbox(shapes)
+    if header_ranges is not None:
+        ranges = tuple(header_ranges)
+    else:
+        xmin, ymin, xmax, ymax = _bbox(shapes)
+        ranges = (xmin, ymin, xmax, ymax, 0.0, 0.0, 0.0, 0.0)
 
     def header(length_bytes: int) -> bytes:
         return (
             struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, length_bytes // 2)
             + struct.pack("<ii", 1000, shape_type)
-            + struct.pack("<4d", xmin, ymin, xmax, ymax)
-            + struct.pack("<4d", 0, 0, 0, 0)
+            + struct.pack("<8d", *ranges)
         )
 
     with open(shp_path, "wb") as f:
@@ -207,6 +246,14 @@ def _write_shp(shp_path: str, shx_path: str, shape_type: int, shapes: list[Shape
 # ---------------------------------------------------------------------------
 
 def _read_dbf(path: str) -> tuple[list[DbfField], list[dict]]:
+    fields, records, deleted = _read_dbf_full(path)
+    return fields, [r for r, d in zip(records, deleted) if not d]
+
+
+def _read_dbf_full(path: str) -> tuple[list[DbfField], list[dict], list[bool]]:
+    """Returns (fields, ALL records incl. deletion-flagged ones, deleted
+    mask) — the mask lets ``ShapefileTable.read`` drop a flagged record's
+    geometry too, keeping shapes[] and records[] index-aligned."""
     with open(path, "rb") as f:
         data = f.read()
     n_records, header_size, record_size = struct.unpack("<IHH", data[4:12])
@@ -220,6 +267,7 @@ def _read_dbf(path: str) -> tuple[list[DbfField], list[dict]]:
         fields.append(DbfField(name, ftype, length, decimals))
         off += 32
     records: list[dict] = []
+    deleted_mask: list[bool] = []
     off = header_size
     for _ in range(n_records):
         deleted = data[off : off + 1] == b"*"
@@ -242,9 +290,9 @@ def _read_dbf(path: str) -> tuple[list[DbfField], list[dict]]:
                 rec[fld.name] = txt.upper() in ("T", "Y")
             else:
                 rec[fld.name] = txt
-        if not deleted:
-            records.append(rec)
-    return fields, records
+        records.append(rec)
+        deleted_mask.append(bool(deleted))
+    return fields, records, deleted_mask
 
 
 def _format_value(fld: DbfField, value) -> bytes:
@@ -257,10 +305,19 @@ def _format_value(fld: DbfField, value) -> bytes:
         return b" " * fld.length
     if fld.decimals:
         s = f"{float(value):.{fld.decimals}f}"
+        # shrink decimals to fit (standard dBase writer behavior) before
+        # giving up — NEVER right-truncate, which silently changes the value
+        d = fld.decimals
+        while len(s) > fld.length and d > 0:
+            d -= 1
+            s = f"{float(value):.{d}f}" if d else str(int(round(float(value))))
     else:
         s = str(int(value))
     if len(s) > fld.length:
-        s = s[: fld.length]
+        raise ValueError(
+            f"value {value!r} does not fit dbf field "
+            f"{fld.name} {fld.type}({fld.length},{fld.decimals})"
+        )
     return s.rjust(fld.length).encode("ascii")
 
 

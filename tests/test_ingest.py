@@ -340,3 +340,26 @@ def test_process_folder_mesh(tmp_path):
     assert h5.exists()
     lines = ShapefileTable.read(str(shps / "tile1" / "lines.shp"))
     assert "simi" in lines.field_names()
+
+
+def test_load_scene_blank_inner_field_clear_error(tmp_path):
+    """A blank numeric cell (dBase NULL) in the points layer produces a
+    clear per-record error instead of int(None) TypeError."""
+    import os
+
+    import pytest
+
+    from deepmerge_tpu.geodata.ingest import load_scene
+
+    scene = generate_scene(h=64, w=64, n_regions=6, n_objects=2, seed=3,
+                           name="s")
+    paths = export_scene(scene, str(tmp_path))
+    dbf_path = os.path.join(tmp_path, "s", "PointsGCS.dbf")
+    dbf = bytearray(open(dbf_path, "rb").read())
+    header_size = int.from_bytes(dbf[8:10], "little")
+    # first record: 1 deletion byte then inner N(10) — blank it
+    dbf[header_size + 1 : header_size + 11] = b" " * 10
+    open(dbf_path, "wb").write(bytes(dbf))
+    with pytest.raises(ValueError, match="blank 'inner'"):
+        load_scene(paths["image"], paths["polygons"], paths["points"],
+                   paths["lines"])
