@@ -55,17 +55,12 @@ def candidate_thresholds(
     covers the decision surface better than a fixed linspace (distances
     concentrate near 0 and near the margin after contrastive training).
     """
-    import jax.numpy as jnp
+    from deepmerge_tpu.infer.scoring import score_scene_edges
 
-    from deepmerge_tpu.ops.segment import edge_distances, segment_mean
-
-    remb = segment_mean(
-        jnp.asarray(embeddings, jnp.float32),
-        jnp.asarray(scene.regions.point_region, jnp.int32),
-        scene.regions.num_regions,
-    )
-    d = np.asarray(edge_distances(remb, jnp.asarray(scene.rag.edges,
-                                                    np.int32)))
+    # the padded/static-shape scorer (CLAUDE.md device-op convention):
+    # shares compiled programs with the extract pipeline instead of
+    # minting one program per distinct scene edge count
+    d = np.asarray(score_scene_edges(scene, embeddings))
     d = d[np.isfinite(d)]
     if d.size == 0:
         raise ValueError(
@@ -98,7 +93,9 @@ def calibrate_threshold(
     merged label map vs the object map; ties break toward the LARGER
     threshold, matching the reference's preference for merging).
     """
-    from deepmerge_tpu.infer.merge import merge_scene_device
+    import jax.numpy as jnp
+
+    from deepmerge_tpu.ops.labelprop import device_merge
 
     if region_objects is None:
         region_objects = scene.object_of_region
@@ -110,18 +107,42 @@ def calibrate_threshold(
     if thresholds is None:
         thresholds = candidate_thresholds(scene, embeddings)
 
+    # stage the scene ONCE; only the threshold scalar varies per candidate.
+    # (merge_scene_device per candidate re-uploaded the full (P, D)
+    # embedding array each iteration — multi-minute on the ~36 MB/s relay
+    # for big scenes.)
+    r = scene.regions.num_regions
+    edges = np.asarray(scene.rag.edges, np.int32)
+    pad = (-len(edges)) % 2048 if len(edges) else 2048
+    valid = np.ones(len(edges), bool)
+    if pad:
+        edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    emb_dev = jnp.asarray(embeddings, jnp.float32)
+    pr_dev = jnp.asarray(scene.regions.point_region, jnp.int32)
+    e_dev, ev_dev = jnp.asarray(edges), jnp.asarray(valid)
+
     gt = np.asarray(region_objects)[scene.labels]
     table = []
     best = None
-    for thr in np.asarray(thresholds, np.float64):
-        merged = merge_scene_device(
-            scene, embeddings, threshold=float(thr), max_rounds=max_rounds
+    # ascending sweep so the documented larger-threshold tie-break holds
+    # regardless of the caller's grid order
+    for thr in np.sort(np.asarray(thresholds, np.float64)):
+        labels, _rounds = device_merge(
+            emb_dev, pr_dev, e_dev, ev_dev, float(thr),
+            num_regions=r, max_rounds=max_rounds,
         )
-        pred = merged.region_to_cluster[scene.labels]
-        dis = pair_disagreement(pred, gt)
-        table.append((float(thr), merged.num_clusters, float(dis)))
-        if best is None or dis <= best[2] + 1e-12:
-            best = (float(thr), merged.num_clusters, float(dis))
+        _, dense = np.unique(np.asarray(labels), return_inverse=True)
+        pred = dense.astype(np.int32)[scene.labels]
+        dis = float(pair_disagreement(pred, gt))
+        n_clusters = int(dense.max()) + 1
+        table.append((float(thr), n_clusters, dis))
+        if best is None or dis < best[2] - 1e-12:
+            best = (float(thr), n_clusters, dis)
+        elif dis <= best[2] + 1e-12:
+            # epsilon-tie: prefer the larger threshold but KEEP the best
+            # disagreement (don't let it drift upward across a long sweep)
+            best = (float(thr), n_clusters, best[2])
     return CalibrationResult(
         threshold=best[0], disagreement=best[2], clusters=best[1], table=table
     )

@@ -255,8 +255,15 @@ def merge_scene_device(
         num_regions=r,
         max_rounds=max_rounds,
     )
+    # edges_scored counts the work THIS engine did: the device loop scores
+    # the full padded-valid edge set every sweep, including the terminal
+    # sweep that found nothing to merge (rounds counts only merging rounds,
+    # so a no-merge scene still scored everything once). The host engine's
+    # count differs by construction — it rescoring only the contracted
+    # edge list each round.
+    sweeps_run = min(int(rounds) + 1, max_rounds)
     return labels_to_result(labels, rounds,
-                            edges_scored=int(rounds) * int(np.sum(valid)))
+                            edges_scored=sweeps_run * int(np.sum(valid)))
 
 
 def labels_to_result(labels, rounds, scene: Scene | None = None,

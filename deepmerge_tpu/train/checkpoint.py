@@ -32,7 +32,8 @@ class CheckpointManager:
     def __init__(self, directory: str, cfg: Config):
         self.directory = os.path.abspath(directory)
         self.cfg = cfg
-        os.makedirs(self.directory, exist_ok=True)
+        # created lazily in save(): restore-only users (inference with a
+        # mistyped --checkpoint-dir, read-only mounts) must not mkdir
         self._ckptr = ocp.StandardCheckpointer()
 
     def _path(self, epoch: int) -> str:
@@ -43,6 +44,7 @@ class CheckpointManager:
         )
 
     def save(self, state: TrainState, epoch: int, elapsed: float = 0.0) -> str:
+        os.makedirs(self.directory, exist_ok=True)
         path = self._path(epoch)
         payload = {
             "params": jax.device_get(state.params),
@@ -65,14 +67,30 @@ class CheckpointManager:
         return path
 
     def latest_path(self) -> Optional[str]:
+        """Newest checkpoint of THIS model (by meta epoch).
+
+        Filtered on the model-name prefix and ordered by the recorded
+        epoch, so a shared checkpoint directory holding several runs
+        (e.g. a v3 and a later v4) never restores another model's payload
+        into this TrainState.
+        """
         if not os.path.isdir(self.directory):
             return None
-        cands = sorted(
-            d for d in os.listdir(self.directory)
-            if os.path.isdir(os.path.join(self.directory, d))
-            and os.path.exists(os.path.join(self.directory, d, "meta.json"))
-        )
-        return os.path.join(self.directory, cands[-1]) if cands else None
+        prefix = f"{self.cfg.model.name}_epoch"
+        best, best_epoch = None, -1
+        for d in sorted(os.listdir(self.directory)):
+            full = os.path.join(self.directory, d)
+            meta_path = os.path.join(full, "meta.json")
+            if not d.startswith(prefix) or not os.path.exists(meta_path):
+                continue
+            try:
+                with open(meta_path) as f:
+                    epoch = int(json.load(f).get("epoch", -1))
+            except (OSError, ValueError, json.JSONDecodeError):
+                continue
+            if epoch > best_epoch:
+                best, best_epoch = full, epoch
+        return best
 
     def restore(
         self,

@@ -88,6 +88,10 @@ def train(
         state = state.replace(
             params=replicate(state.params, mesh),
             opt_state=replicate(state.opt_state, mesh),
+            # v4/v5 carry AuxBlock BatchNorm batch_stats — they must ride
+            # the mesh like params or the jitted step sees inputs committed
+            # to incompatible device sets
+            batch_stats=replicate(state.batch_stats, mesh),
         )
 
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg)
@@ -104,7 +108,9 @@ def train(
     t_start = time.time() - elapsed0
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
-        epoch_seed = cfg.train.seed * 100003 + epoch
+        # numpy seeds are 32-bit; fold the (seed, epoch) pair into range
+        # (large cfg.train.seed values crashed the sampler otherwise)
+        epoch_seed = (cfg.train.seed * 100003 + epoch) % (2**32)
         if epoch_fn is not None:
             arrays = sampler.epoch_arrays(epoch_seed, cfg.data.batch_size)
             if arrays is None:

@@ -93,6 +93,41 @@ def _training_model(model: S2Former) -> S2Former:
     return build_model(dataclasses.replace(model.cfg, fused_block=False))
 
 
+def _siamese_forward_loss(model, params, batch_stats, patches, designed,
+                          flag, dropout_rng, margin, aux_weights):
+    """Shared Siamese train forward + contrastive (+aux) loss.
+
+    ``patches``/``designed`` carry the stacked [left; right] batch (2B on
+    the batch axis feeding the MXU); the three train-step builders below
+    differ only in how they MATERIALIZE the patches (host batch vs in-step
+    extraction), so the loss body lives once here.
+    """
+    has_aux_heads = model.cfg.variant in ("v4", "v5")
+    variables = {"params": params}
+    mutable = False
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"]
+    out = model.apply(
+        variables, patches, designed, True,
+        rngs={"dropout": dropout_rng}, mutable=mutable,
+    )
+    new_state = {}
+    if mutable:
+        out, new_state = out
+    if has_aux_heads:
+        emb, aux0, aux1 = out
+    else:
+        emb, aux0, aux1 = out, None, None
+    el, er = jnp.split(emb, 2, axis=0)
+    loss = contrastive_pair_loss(el, er, flag, margin)
+    for aux, w in ((aux0, aux_weights[0]), (aux1, aux_weights[1])):
+        if aux is not None and w > 0.0:
+            al, ar = jnp.split(aux, 2, axis=0)
+            loss += w * contrastive_pair_loss(al, ar, flag, margin)
+    return loss, new_state.get("batch_stats", batch_stats)
+
+
 def make_train_step(
     model: S2Former,
     cfg: Config,
@@ -110,7 +145,6 @@ def make_train_step(
     """
     model = _training_model(model)
     margin = cfg.train.margin
-    has_aux_heads = model.cfg.variant in ("v4", "v5")
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
         stacked = tuple(
@@ -120,33 +154,10 @@ def make_train_step(
         designed = jnp.concatenate(
             [batch["left_designed"], batch["right_designed"]], axis=0
         )
-        variables = {"params": params}
-        mutable = False
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            mutable = ["batch_stats"]
-        out = model.apply(
-            variables, stacked, designed, True,
-            rngs={"dropout": dropout_rng}, mutable=mutable,
+        return _siamese_forward_loss(
+            model, params, batch_stats, stacked, designed, batch["flag"],
+            dropout_rng, margin, aux_weights,
         )
-        if mutable:
-            out, new_state = out
-        else:
-            new_state = {}
-        if has_aux_heads:
-            emb, aux0, aux1 = out
-        else:
-            emb, aux0, aux1 = out, None, None
-        el, er = jnp.split(emb, 2, axis=0)
-        flag = batch["flag"]
-        loss = contrastive_pair_loss(el, er, flag, margin)
-        if aux0 is not None and aux_weights[0] > 0.0:
-            a0l, a0r = jnp.split(aux0, 2, axis=0)
-            loss += aux_weights[0] * contrastive_pair_loss(a0l, a0r, flag, margin)
-        if aux1 is not None and aux_weights[1] > 0.0:
-            a1l, a1r = jnp.split(aux1, 2, axis=0)
-            loss += aux_weights[1] * contrastive_pair_loss(a1l, a1r, flag, margin)
-        return loss, new_state.get("batch_stats", batch_stats)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng):
@@ -204,6 +215,34 @@ def train_epoch(
     return state, float(np.mean([np.asarray(l) for l in losses]))
 
 
+def _make_extracting_loss_fn(model, cfg, device_scene, aux_weights):
+    """Loss fn whose patches are extracted IN-STEP from the HBM-resident
+    scene (shared by the fused step and the scanned epoch — model must
+    already be ``_training_model``-adjusted)."""
+    from deepmerge_tpu.ops.patches import extract_multiscale_patches
+
+    margin = cfg.train.margin
+    patch_sizes = tuple(cfg.data.patch_sizes)
+    caps = device_scene.caps
+    quantize = cfg.data.quantize_uint8
+    channels = device_scene.channels
+    out_dtype = jnp.dtype(model.cfg.dtype)
+
+    def loss_fn(params, batch_stats, padded, centers, scales, designed, flag,
+                dropout_rng):
+        patches = extract_multiscale_patches(
+            padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
+            quantize_uint8=quantize, out_channels=channels,
+            out_dtype=out_dtype,
+        )
+        return _siamese_forward_loss(
+            model, params, batch_stats, patches, designed, flag,
+            dropout_rng, margin, aux_weights,
+        )
+
+    return loss_fn
+
+
 def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
                           aux_weights: tuple[float, float] = (0.0, 0.0)):
     """Siamese train step with the patch pipeline fused INTO the jitted step.
@@ -214,48 +253,8 @@ def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
     program. On dispatch-heavy platforms this removes the per-step data
     round-trips that otherwise dominate the epoch (measured ~6x).
     """
-    from deepmerge_tpu.ops.patches import extract_multiscale_patches
-
     model = _training_model(model)
-    margin = cfg.train.margin
-    has_aux_heads = model.cfg.variant in ("v4", "v5")
-    patch_sizes = tuple(cfg.data.patch_sizes)
-    caps = device_scene.caps
-    quantize = cfg.data.quantize_uint8
-
-    def loss_fn(params, batch_stats, padded, centers, scales, designed, flag,
-                dropout_rng):
-        patches = extract_multiscale_patches(
-            padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
-            quantize_uint8=quantize, out_channels=device_scene.channels,
-            out_dtype=jnp.dtype(model.cfg.dtype),
-        )
-        variables = {"params": params}
-        mutable = False
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            mutable = ["batch_stats"]
-        out = model.apply(
-            variables, patches, designed, True,
-            rngs={"dropout": dropout_rng}, mutable=mutable,
-        )
-        if mutable:
-            out, new_state = out
-        else:
-            new_state = {}
-        if has_aux_heads:
-            emb, aux0, aux1 = out
-        else:
-            emb, aux0, aux1 = out, None, None
-        el, er = jnp.split(emb, 2, axis=0)
-        loss = contrastive_pair_loss(el, er, flag, margin)
-        if aux0 is not None and aux_weights[0] > 0.0:
-            a0l, a0r = jnp.split(aux0, 2, axis=0)
-            loss += aux_weights[0] * contrastive_pair_loss(a0l, a0r, flag, margin)
-        if aux1 is not None and aux_weights[1] > 0.0:
-            a1l, a1r = jnp.split(aux1, 2, axis=0)
-            loss += aux_weights[1] * contrastive_pair_loss(a1l, a1r, flag, margin)
-        return loss, new_state.get("batch_stats", batch_stats)
+    loss_fn = _make_extracting_loss_fn(model, cfg, device_scene, aux_weights)
 
     @jax.jit
     def step(state: TrainState, padded, centers, scales, designed, flag, rng):
@@ -288,48 +287,8 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
     (state, losses)`` with ``arrays`` from
     ``FusedPairSampler.epoch_arrays``.
     """
-    from deepmerge_tpu.ops.patches import extract_multiscale_patches
-
     model = _training_model(model)
-    margin = cfg.train.margin
-    has_aux_heads = model.cfg.variant in ("v4", "v5")
-    patch_sizes = tuple(cfg.data.patch_sizes)
-    caps = device_scene.caps
-    quantize = cfg.data.quantize_uint8
-
-    def loss_fn(params, batch_stats, padded, centers, scales, designed, flag,
-                dropout_rng):
-        patches = extract_multiscale_patches(
-            padded, centers, scales, patch_sizes=patch_sizes, caps=caps,
-            quantize_uint8=quantize, out_channels=device_scene.channels,
-            out_dtype=jnp.dtype(model.cfg.dtype),
-        )
-        variables = {"params": params}
-        mutable = False
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            mutable = ["batch_stats"]
-        out = model.apply(
-            variables, patches, designed, True,
-            rngs={"dropout": dropout_rng}, mutable=mutable,
-        )
-        if mutable:
-            out, new_state = out
-        else:
-            new_state = {}
-        if has_aux_heads:
-            emb, aux0, aux1 = out
-        else:
-            emb, aux0, aux1 = out, None, None
-        el, er = jnp.split(emb, 2, axis=0)
-        loss = contrastive_pair_loss(el, er, flag, margin)
-        if aux0 is not None and aux_weights[0] > 0.0:
-            a0l, a0r = jnp.split(aux0, 2, axis=0)
-            loss += aux_weights[0] * contrastive_pair_loss(a0l, a0r, flag, margin)
-        if aux1 is not None and aux_weights[1] > 0.0:
-            a1l, a1r = jnp.split(aux1, 2, axis=0)
-            loss += aux_weights[1] * contrastive_pair_loss(a1l, a1r, flag, margin)
-        return loss, new_state.get("batch_stats", batch_stats)
+    loss_fn = _make_extracting_loss_fn(model, cfg, device_scene, aux_weights)
 
     @jax.jit
     def _epoch(state: TrainState, padded, centers, scales, designed, flags,

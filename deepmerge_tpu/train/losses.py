@@ -53,8 +53,6 @@ def triplet_loss(anchor, positive, negative, margin: float = 1.0,
     squared distances plus a λ-weighted absolute pull term. (The reference's
     ``distance_negative_1`` accidentally sums over the whole batch — here it
     is the intended per-sample distance.)"""
-    import jax
-
     a = anchor.astype(jnp.float32)
     p = positive.astype(jnp.float32)
     n = negative.astype(jnp.float32)

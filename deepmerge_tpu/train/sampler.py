@@ -296,7 +296,7 @@ class MultiScenePairSampler:
         rng = np.random.RandomState(epoch_seed)
         iters = []
         for i, s in enumerate(self.samplers):
-            it = s.epoch_batches(epoch_seed * 131 + i, batch_size)
+            it = s.epoch_batches((epoch_seed * 131 + i) % (2**32), batch_size)
             n = len(s) // batch_size
             iters.extend([it] * n)
         rng.shuffle(iters)
