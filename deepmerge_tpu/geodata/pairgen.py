@@ -52,13 +52,21 @@ def read_pair_source(path: str, scene_name: str | None = None) -> np.ndarray:
     """Load pairs from a txt file OR a reference-style pair folder.
 
     A folder is the reference's ``PositiveData``/``NegativeData`` layout
-    (one txt per scene, ``MyUtils1.py:236-258``): when ``scene_name`` names
-    a ``<scene_name>.txt`` inside it, only that scene's pairs load (region
-    ids are per-scene); otherwise every ``.txt`` in the folder concatenates.
+    (one txt per scene, ``MyUtils1.py:236-258``): with ``scene_name`` set,
+    ONLY ``<scene_name>.txt`` loads — region ids are per-scene, so a
+    missing file is an error, never a fall-through to other scenes' pairs
+    (their ids would silently index the wrong regions). With no
+    ``scene_name``, every ``.txt`` in the folder concatenates.
     """
     if os.path.isdir(path):
-        named = os.path.join(path, f"{scene_name}.txt") if scene_name else None
-        if named and os.path.exists(named):
+        if scene_name:
+            named = os.path.join(path, f"{scene_name}.txt")
+            if not os.path.exists(named):
+                raise FileNotFoundError(
+                    f"{path} has no pair file for scene '{scene_name}' "
+                    f"({scene_name}.txt) — pair region ids are per-scene, "
+                    f"so other scenes' files cannot substitute"
+                )
             return read_pair_file(named)
         files = [
             os.path.join(path, f) for f in sorted(os.listdir(path))

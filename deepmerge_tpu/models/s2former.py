@@ -456,7 +456,10 @@ class AuxBlock(nn.Module):
             use_running_average=deterministic, dtype=self.dtype, name="bn"
         )
         conv2 = nn.Conv(self.dim // c, (1, 1), dtype=self.dtype, name="conv2")
-        drop = nn.Dropout(self.drop)
+        # Dropout2d semantics (nets/ShfitScaleFormer.py:340): whole feature
+        # CHANNELS drop per sample — broadcast the mask over the NHWC
+        # spatial dims, not element-wise
+        drop = nn.Dropout(self.drop, broadcast_dims=(1, 2))
         for i in range(c):
             xi = x[:, h * w * i : h * w * (i + 1), :]
             xi = xi.reshape(xi.shape[0], h, w, self.dim)
@@ -564,19 +567,14 @@ class S2Former(nn.Module):
             cfg.out_dim, kernel_init=_trunc02, dtype=dtype,
             name="final_features",
         )
+        self.final_with_design = nn.Dense(
+            cfg.out_dim, kernel_init=_trunc02, dtype=dtype,
+            name="final_features_with_design",
+        )
         if cfg.variant == "v5":
             self.last_block_features = nn.Dense(
                 cfg.embed_dim, kernel_init=_trunc02, dtype=dtype,
                 name="last_block_features",
-            )
-            self.final_with_design = nn.Dense(
-                cfg.out_dim, kernel_init=_trunc02, dtype=dtype,
-                name="final_features_with_design",
-            )
-        else:
-            self.final_with_design = nn.Dense(
-                cfg.out_dim, kernel_init=_trunc02, dtype=dtype,
-                name="final_features_with_design",
             )
         if cfg.variant in ("v4", "v5"):
             self.aux0 = AuxBlock(

@@ -222,9 +222,15 @@ def vit_base_patch_scales_224_in21k(
     num_classes: int = 21843, has_logits: bool = True,
     is_feature_embed: bool = True, is_label_embed: bool = False, **kw,
 ) -> ScaleEmbedTransformer:
-    """``vit_model.py:568-578`` — the multi-scale variant."""
+    """``vit_model.py:568-578`` — the multi-scale variant.
+
+    NB ``num_classes`` is accepted for factory-signature parity but does
+    NOT size the class head: the reference hard-codes
+    ``class_logits = nn.Linear(100, 11)`` regardless of the argument
+    (``vit_model.py:408-411``), so the 11-way head is pinned here too.
+    """
     return ScaleEmbedTransformer(
-        num_classes=num_classes, embed_dim=768, depth=12, num_heads=12,
+        num_classes=11, embed_dim=768, depth=12, num_heads=12,
         feature_embed=is_feature_embed, label_embed=is_label_embed, **kw,
     )
 

@@ -69,14 +69,13 @@ def stage_scene(scene: Scene, cfg: DataConfig) -> DeviceScene:
 
 
 def point_batch(ds: DeviceScene, point_idx: np.ndarray, cfg: DataConfig):
-    """Materialize (patches, designed) for a batch of sample points."""
-    centers = jnp.asarray(ds.points_yx[point_idx])
-    inner = ds.point_inner[point_idx]
-    obj = ds.point_object[point_idx]
-    targets = tuple(cfg.patch_sizes) + (1,) * (
-        cfg.factor_slots - len(cfg.patch_sizes)
-    )
-    scales, factors = adaptive_scales(inner, obj, targets)
+    """Materialize (patches, designed) for a batch of sample points.
+
+    Same metadata as ``point_meta`` (single source of truth for the
+    scale-ladder targets and the designed vector) plus the actual
+    window-gather + resize.
+    """
+    centers, scales, designed = point_meta(ds, point_idx, cfg)
     patches = extract_multiscale_patches(
         ds.padded,
         centers,
@@ -86,10 +85,6 @@ def point_batch(ds: DeviceScene, point_idx: np.ndarray, cfg: DataConfig):
         chunk=min(256, max(len(point_idx), 8)),
         quantize_uint8=cfg.quantize_uint8,
         out_channels=ds.channels,
-    )
-    designed = jnp.concatenate(
-        [jnp.asarray(ds.point_features[point_idx], jnp.float32), factors],
-        axis=1,
     )
     return patches, designed
 
@@ -123,6 +118,25 @@ class PairSampler:
         self._pt_order, self._pt_starts, self._pt_ends = _points_of_regions(
             scene.regions.point_region, scene.regions.num_regions
         )
+        # fail LOUDLY on pair files referencing out-of-range or point-less
+        # regions (the reference crashes on randint-over-empty-list;
+        # silently substituting a neighboring region's point would train
+        # on wrong pairs)
+        if len(self.pairs):
+            ids = self.pairs.ravel()
+            bad = (ids < 0) | (ids >= scene.regions.num_regions)
+            if bad.any():
+                raise ValueError(
+                    f"scene '{scene.name}': pair files reference region id "
+                    f"{int(ids[bad][0])} outside [0, "
+                    f"{scene.regions.num_regions}) — pair ids are per-scene"
+                )
+            empty = self._pt_starts[ids] == self._pt_ends[ids]
+            if empty.any():
+                raise ValueError(
+                    f"scene '{scene.name}': pair files reference region "
+                    f"{int(ids[empty][0])} which has no sample points"
+                )
 
     def _draw_point(self, rng: np.random.RandomState, region: np.ndarray):
         """Vectorized: one uniform sample point per region (ref m_rand/n_rand)."""
@@ -188,6 +202,7 @@ class TripletSampler:
             jnp.asarray(scales),
             patch_sizes=(self.crop_size,) * 3,
             caps=ds.caps[-1],
+            chunk=min(256, max(len(point_idx), 8)),
             out_channels=ds.channels,
             quantize_uint8=self.cfg.quantize_uint8,
         )
@@ -265,18 +280,20 @@ class TripletSampler:
         if len(obj_pts) == 0:
             raise ValueError(f"region {region_index} has no sample points")
         object_stack, n_obj = self._stacked_contexts(obj_pts, pad_to)
-        neighbor_stacks, counts = [], [n_obj]
+        neighbor_stacks, counts, kept = [], [n_obj], []
         for k in neighbors:
             pts = np.where(pr == k)[0]
             if len(pts) == 0:
-                continue
+                continue  # point-less neighbor: drop its id too, so
+                # neighbor_stacks[i] always belongs to kept[i]
             s, n = self._stacked_contexts(pts, pad_to)
             neighbor_stacks.append(s)
             counts.append(n)
+            kept.append(k)
         if pad_to is not None:
-            return (object_stack, neighbor_stacks, region_index, neighbors,
+            return (object_stack, neighbor_stacks, region_index, kept,
                     np.asarray(counts, np.int32))
-        return object_stack, neighbor_stacks, region_index, neighbors
+        return object_stack, neighbor_stacks, region_index, kept
 
 
 class MultiScenePairSampler:
@@ -351,23 +368,14 @@ class FusedPairSampler(PairSampler):
                 "flag": jnp.asarray(self.flags[take]),
             }
 
-
-def _stack_epoch(batches):
-    import jax
-
-    return tuple(
-        jnp.stack([b[k] for b in batches])
-        for k in ("centers", "scales", "designed", "flag")
-    )
-
-
-# FusedPairSampler.epoch_arrays: whole-epoch stacked metadata for the
-# scanned-epoch trainer (loop.make_scanned_epoch)
-def _epoch_arrays(self, epoch_seed: int, batch_size: int):
-    batches = list(self.epoch_batches(epoch_seed, batch_size))
-    if not batches:
-        return None
-    return _stack_epoch(batches)
-
-
-FusedPairSampler.epoch_arrays = _epoch_arrays
+    def epoch_arrays(self, epoch_seed: int, batch_size: int):
+        """Whole-epoch stacked metadata for the scanned-epoch trainer
+        (``loop.make_scanned_epoch``); None when the epoch has no full
+        batch."""
+        batches = list(self.epoch_batches(epoch_seed, batch_size))
+        if not batches:
+            return None
+        return tuple(
+            jnp.stack([b[k] for b in batches])
+            for k in ("centers", "scales", "designed", "flag")
+        )
