@@ -53,6 +53,14 @@ def _zeros_linear(sd, tkey, out_dim, in_dim):
     sd[tkey + ".bias"] = np.zeros((out_dim,), np.float32)
 
 
+def _feature_embed(sd: dict, params) -> None:
+    """Conv1d(19->D)x3 designed-feature embed (shared by v1-v5 and v6)."""
+    for i in range(3):
+        node = params["feature_embed"][f"proj{i}"]
+        sd[f"feature_embed.proj{i}.weight"] = _t(node).T[:, :, None]
+        sd[f"feature_embed.proj{i}.bias"] = _t(node, "bias")
+
+
 def flax_to_torch_state_dict(variables: Mapping, mcfg) -> dict[str, np.ndarray]:
     """Map flax variables to a reference ``state_dict`` (numpy values).
 
@@ -70,10 +78,7 @@ def flax_to_torch_state_dict(variables: Mapping, mcfg) -> dict[str, np.ndarray]:
     sd: dict[str, np.ndarray] = {}
 
     if mcfg.variant == "v6":
-        for i in range(3):
-            node = p["feature_embed"][f"proj{i}"]
-            sd[f"feature_embed.proj{i}.weight"] = _t(node).T[:, :, None]
-            sd[f"feature_embed.proj{i}.bias"] = _t(node, "bias")
+        _feature_embed(sd, p)
         _ln(sd, "norm", p["norm"])
         _linear(sd, "final_features_with_design",
                 p["final_features_with_design"])
@@ -125,10 +130,7 @@ def flax_to_torch_state_dict(variables: Mapping, mcfg) -> dict[str, np.ndarray]:
     # ---- shared norm / designed-feature embed ---------------------------
     _ln(sd, "norm", p["norm"])
     if "feature_embed" in p:
-        for i in range(3):
-            node = p["feature_embed"][f"proj{i}"]
-            sd[f"feature_embed.proj{i}.weight"] = _t(node).T[:, :, None]
-            sd[f"feature_embed.proj{i}.bias"] = _t(node, "bias")
+        _feature_embed(sd, p)
 
     # ---- heads (incl. constructed-but-uncalled ones as zeros) -----------
     def linear_or_zeros(tkey, fkey, out_dim, in_dim):

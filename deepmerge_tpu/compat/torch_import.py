@@ -191,6 +191,16 @@ def _flatten(tree: Mapping, prefix=()) -> dict[tuple, np.ndarray]:
     return out
 
 
+def _prune_empty(tree: dict) -> None:
+    """Remove empty sub-dicts at any depth (in place, bottom-up)."""
+    for k in list(tree.keys()):
+        v = tree[k]
+        if isinstance(v, dict):
+            _prune_empty(v)
+            if not v:
+                del tree[k]
+
+
 def torch_state_dict_to_flax(
     state_dict: Mapping[str, Any],
     template: Mapping[str, Any],
@@ -251,10 +261,10 @@ def torch_state_dict_to_flax(
             for k in p[:-1]:
                 node = node[k]
             del node[p[-1]]
-        for p in extra:  # drop now-empty dicts
-            node = out[coll]
-            if p[0] in node and not node[p[0]]:
-                del node[p[0]]
+        _prune_empty(out[coll])  # drop now-empty dicts at ANY depth (e.g.
+        # v5's aux0/norm — the reference creates-but-never-applies that
+        # norm, so the flax template has no such subtree; a leftover {}
+        # breaks pytree-structure equality with init_params)
         got = {k: v for k, v in got.items() if k not in set(extra)}
         for path, arr in got.items():
             wshape = np.shape(want[path])

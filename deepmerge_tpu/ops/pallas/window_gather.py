@@ -66,7 +66,6 @@ def _gather_kernel(starts_ref, scene_ref, out_ref, sems):
     jax.lax.fori_loop(max(n - _INFLIGHT, 0), n, drain, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
 def gather_windows(scene2d, starts, rows: int, cols: int, interpret: bool = False):
     """Gather per-point aligned windows from an HBM-resident scene.
 
@@ -74,12 +73,35 @@ def gather_windows(scene2d, starts, rows: int, cols: int, interpret: bool = Fals
       scene2d: (H, W·C) uint8 — channel-flattened scene rows.
       starts: (B, 2) int32 — per-point (row, elem-col) window origins; MUST
         be tile-aligned (row % 32 == 0, col % 128 == 0) and in-bounds.
+        The alignment is a MOSAIC PROMISE (``pl.multiple_of``), not a
+        runtime check: a misaligned origin gathers silently shifted
+        content on a real TPU while interpret-mode tests still pass.
+        Concrete (non-traced) inputs are therefore validated here at the
+        jit boundary; traced callers must align (``ops/patches.py`` does).
       rows, cols: static window extent (rows % 32 == 0, cols % 128 == 0).
       interpret: run in interpreter mode (for CPU tests).
 
     Returns:
       (B, rows, cols) uint8 windows.
     """
+    if not isinstance(starts, jax.core.Tracer):
+        import numpy as np
+
+        s = np.asarray(starts)
+        if s.size and (
+            np.any(s[:, 0] % ROW_ALIGN) or np.any(s[:, 1] % LANE_ALIGN)
+        ):
+            raise ValueError(
+                "gather_windows: starts must be tile-aligned "
+                f"(row % {ROW_ALIGN} == 0, col % {LANE_ALIGN} == 0) — "
+                "align-down and widen the window like ops/patches.py does"
+            )
+    return _gather_windows_jit(scene2d, starts, rows, cols, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
+def _gather_windows_jit(scene2d, starts, rows: int, cols: int,
+                        interpret: bool = False):
     assert rows % ROW_ALIGN == 0 and cols % LANE_ALIGN == 0, (rows, cols)
     b = starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -37,9 +37,13 @@ def phase_timer(timings: Timings, name: str, trace_dir: str | None = None):
 
         ctx = jax.profiler.trace(trace_dir)
     t0 = time.perf_counter()
-    with ctx:
-        yield
-    timings.add(name, time.perf_counter() - t0)
+    try:
+        with ctx:
+            yield
+    finally:
+        # record even when the phase raises — the wall-clock was consumed,
+        # and error-path summaries should show where it went
+        timings.add(name, time.perf_counter() - t0)
 
 
 # ---------------------------------------------------------------------------

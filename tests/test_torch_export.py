@@ -143,3 +143,31 @@ def test_export_v6_no_classes_strict_load():
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
         strict=True,
     )
+
+
+def test_import_v5_prunes_dead_aux_norm_subtree(tmp_path):
+    """A reference v5 checkpoint carries aux0/aux1 ``norm`` weights the
+    forward never applies (AuxBolck_v5 creates-but-skips its norm); the
+    import must drop the whole dead subtree so the params tree STRUCTURE
+    matches init_params (optax/jax.tree.map compatibility)."""
+    from deepmerge_tpu.compat.torch_import import load_torch_checkpoint
+    from deepmerge_tpu.config import Config
+
+    mcfg = ModelConfig(
+        variant="v5", input_image_scales=(16, 32, 64), cube=8,
+        embed_dim=48, depth=(2, 1, 1), num_heads=4, out_dim=100,
+        dtype="float32",
+    )
+    model = build_model(mcfg)
+    variables = init_params(model, jax.random.key(2), batch=2)
+    sd = flax_to_torch_state_dict(variables, mcfg)
+    for aux in ("aux0", "aux1"):
+        sd[f"{aux}.norm.weight"] = torch.ones(mcfg.embed_dim)
+        sd[f"{aux}.norm.bias"] = torch.zeros(mcfg.embed_dim)
+    path = str(tmp_path / "v5_deadnorm.pth")
+    torch.save({"net": sd, "epoch": 99}, path)
+
+    back = load_torch_checkpoint(path, Config(model=mcfg))
+    assert jax.tree_util.tree_structure(back["params"]) == (
+        jax.tree_util.tree_structure(variables["params"])
+    )
