@@ -29,21 +29,27 @@ def _voronoi_labels(h: int, w: int, sites: np.ndarray) -> np.ndarray:
             return idx.reshape(h, w).astype(np.int32)
         except Exception:
             pass
-    ys = np.arange(h)[:, None]
-    xs = np.arange(w)[None, :]
-    best_d = np.full((h, w), np.inf)
+    # brute-force fallback: chunk over BOTH pixel rows and sites in f32 to
+    # bound peak memory (a single (H, W, S) f64 block was ~8.6 GB at mosaic
+    # scale; f32 squared distances are exact for scenes up to ~2896px)
+    sites32 = sites.astype(np.float32)
+    xs = np.arange(w, dtype=np.float32)[None, :]
     best = np.zeros((h, w), np.int32)
-    # chunk over sites to bound memory for big scenes
-    for start in range(0, len(sites), 256):
-        chunk = sites[start : start + 256]
-        d = (ys[..., None] - chunk[None, None, :, 0]) ** 2 + (
-            xs[..., None] - chunk[None, None, :, 1]
-        ) ** 2
-        idx = d.argmin(-1)
-        dmin = np.take_along_axis(d, idx[..., None], -1)[..., 0]
-        take = dmin < best_d
-        best[take] = (idx + start)[take]
-        best_d = np.minimum(best_d, dmin)
+    ROWS, SITES = 256, 64
+    for r0 in range(0, h, ROWS):
+        ys = np.arange(r0, min(r0 + ROWS, h), dtype=np.float32)[:, None]
+        best_d = np.full((len(ys), w), np.inf, np.float32)
+        brow = best[r0 : r0 + len(ys)]
+        for start in range(0, len(sites32), SITES):
+            chunk = sites32[start : start + SITES]
+            d = (ys[..., None] - chunk[None, None, :, 0]) ** 2 + (
+                xs[..., None] - chunk[None, None, :, 1]
+            ) ** 2
+            idx = d.argmin(-1)
+            dmin = np.take_along_axis(d, idx[..., None], -1)[..., 0]
+            take = dmin < best_d
+            brow[take] = (idx + start)[take].astype(np.int32)
+            best_d = np.minimum(best_d, dmin)
     return best
 
 
@@ -123,7 +129,15 @@ def generate_scene(
     seed: int = 0,
     name: str = "synthetic",
 ) -> Scene:
-    """Generate a synthetic Scene with ground-truth object grouping."""
+    """Generate a synthetic Scene with ground-truth object grouping.
+
+    NB duplicate random sites (birthday-collision odds grow with
+    ``n_regions``/area) produce regions with ZERO pixels and no sample
+    points: they keep clamped placeholder features and survive merging as
+    singleton labels — the same shape real over-segmentation outputs take
+    when a vectorizer emits degenerate polygons. Kept as-is (rather than
+    resampling) so scenes are bit-stable per seed across rounds.
+    """
     rng = np.random.RandomState(seed)
     sites = np.stack(
         [rng.randint(0, h, n_regions), rng.randint(0, w, n_regions)], 1
@@ -187,7 +201,7 @@ def generate_scene(
     )
 
 
-def make_training_pairs(scene: Scene, rng: np.random.RandomState | None = None):
+def make_training_pairs(scene: Scene):
     """Positive/negative region-id pairs from RAG adjacency + ground truth.
 
     Mirrors the reference's pair txt files (one line per polygon pair,

@@ -40,12 +40,16 @@ def cut_class_patches(
     window: int = 224,
     out_size: int = 224,
     max_window: int = 512,
+    _padded_caps=None,
 ) -> np.ndarray:
     """Fixed-window patches around classified points → (N, out, out, C)."""
     import jax.numpy as jnp
 
-    caps = slot_caps([min(window, max_window)], max_window)
-    padded = jnp.asarray(pad_scene(image, caps))
+    if _padded_caps is None:
+        caps = slot_caps([min(window, max_window)], max_window)
+        padded = jnp.asarray(pad_scene(image, caps))
+    else:
+        padded, caps = _padded_caps  # staged once by the sharded exporter
     scales = np.full((len(centers_yx), 1), window, np.int32)
     (patches,) = extract_multiscale_patches(
         padded, jnp.asarray(centers_yx, jnp.int32), jnp.asarray(scales),
@@ -66,10 +70,19 @@ def export_class_patches(
     seed: int = 42,
     shard_size: int = 4096,
 ) -> dict[str, list[str]]:
-    """Cut, split, and write class-labeled patches as .npz shards."""
+    """Cut, split, and write class-labeled patches as .npz shards.
+
+    Patches are cut PER SHARD so host memory is bounded by one shard
+    (~shard_size × out² × C float32), not the whole export — a 100k-point
+    run would otherwise materialize ~60 GB before the first write.
+    """
+    import jax.numpy as jnp
+
     os.makedirs(out_dir, exist_ok=True)
-    patches = cut_class_patches(image, centers_yx, window, out_size)
-    tr, va = split_indices(len(patches), train_frac, seed)
+    caps = slot_caps([min(window, 512)], 512)
+    staged = (jnp.asarray(pad_scene(image, caps)), caps)  # uploaded once
+    centers_yx = np.asarray(centers_yx)
+    tr, va = split_indices(len(centers_yx), train_frac, seed)
     written: dict[str, list[str]] = {"train": [], "val": []}
     for split, idx in (("train", tr), ("val", va)):
         for shard_no, start in enumerate(range(0, len(idx), shard_size)):
@@ -77,7 +90,10 @@ def export_class_patches(
             path = os.path.join(out_dir, f"{split}_{shard_no:04d}.npz")
             np.savez_compressed(
                 path,
-                patches=patches[take],
+                patches=cut_class_patches(
+                    image, centers_yx[take], window, out_size,
+                    _padded_caps=staged,
+                ),
                 labels=np.asarray(class_ids)[take],
                 index=take,
             )

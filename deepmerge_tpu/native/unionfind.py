@@ -23,5 +23,9 @@ def connected_labels(n: int, edges: np.ndarray) -> tuple[np.ndarray, int]:
     if _ext is None:
         raise RuntimeError("native unionfind unavailable")
     e = np.ascontiguousarray(np.asarray(edges, np.int64).reshape(-1, 2))
-    raw, k = _ext.connected_labels(int(n), e.tobytes())
+    # the extension takes any buffer ('y*') — pass the array's memory
+    # directly; tobytes() would memcpy tens of MB per merge round on
+    # mosaic-scale edge lists
+    buf = memoryview(e).cast("B") if e.size else b""
+    raw, k = _ext.connected_labels(int(n), buf)
     return np.frombuffer(raw, np.int32).copy(), int(k)

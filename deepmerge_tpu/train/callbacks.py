@@ -61,5 +61,8 @@ class LossHistory:
         plt.xlabel("Epoch")
         plt.ylabel("Loss")
         plt.legend(loc="upper right")
-        plt.savefig(os.path.join(self.save_path, f"epoch_loss_{n}.png"))
+        # ONE file re-rendered each epoch (the reference overwrites a single
+        # timestamped PNG, callbacks.py:60-84 — per-epoch files would leave
+        # N images behind on a 100-epoch run)
+        plt.savefig(os.path.join(self.save_path, "epoch_loss.png"))
         plt.close("all")

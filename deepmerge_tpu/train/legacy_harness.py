@@ -110,9 +110,12 @@ def train_gru(
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, xb, yb):
+    def step(params, opt_state, xb, yb, dropout_rng):
         def loss_fn(p):
-            logits = model.apply({"params": p}, xb)
+            # train=True: the reference RNN applies Dropout(0.5) to the
+            # attention query during training (Nets.py:48-111)
+            logits = model.apply({"params": p}, xb, True,
+                                 rngs={"dropout": dropout_rng})
             return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -120,14 +123,18 @@ def train_gru(
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.RandomState(seed)
+    drop_key = jax.random.key(seed + 1)
+    step_i = 0
     for epoch in range(epochs):
         perm = rng.permutation(len(x))
         total, steps = 0.0, 0
         for i in range(0, len(x) - batch_size + 1, batch_size):
             take = perm[i : i + batch_size]
             params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(x[take]), jnp.asarray(y[take])
+                params, opt_state, jnp.asarray(x[take]), jnp.asarray(y[take]),
+                jax.random.fold_in(drop_key, step_i),
             )
+            step_i += 1
             total += float(loss)
             steps += 1
         log_fn(f"gru epoch {epoch + 1}/{epochs}: loss={total / steps:.4f}")

@@ -49,18 +49,18 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.full:
-        size = args.size or 1024
-        regions = args.regions or 2048
-        objects = args.objects or 96
-        points = args.points or 3
-        epochs = args.epochs or 100
+        size = args.size if args.size is not None else 1024
+        regions = args.regions if args.regions is not None else 2048
+        objects = args.objects if args.objects is not None else 96
+        points = args.points if args.points is not None else 3
+        epochs = args.epochs if args.epochs is not None else 100
         model_over = {}
     else:
-        size = args.size or 256
-        regions = args.regions or 192
-        objects = args.objects or 16
-        points = args.points or 3
-        epochs = args.epochs or 3
+        size = args.size if args.size is not None else 256
+        regions = args.regions if args.regions is not None else 192
+        objects = args.objects if args.objects is not None else 16
+        points = args.points if args.points is not None else 3
+        epochs = args.epochs if args.epochs is not None else 3
         # small-but-real model so the smoke run finishes in minutes anywhere
         model_over = dict(embed_dim=128, num_heads=4, depth=(2, 1, 1))
 
