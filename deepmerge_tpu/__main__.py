@@ -109,6 +109,11 @@ def main(argv=None):
         "--deep-pixels", choices=("error", "shift", "clip"), default="error",
         help="handling for >8-bit rasters (uint16 etc.)",
     )
+    p_pf.add_argument(
+        "--write-labelmaps", action="store_true",
+        help="write each scene's merged label map as <model>_merged.tif "
+        "(needs a <name>_labels.npy superpixel sidecar per scene)",
+    )
     p_pf.add_argument("overrides", nargs="*", default=[])
 
     p_syn = sub.add_parser("export-synthetic")
@@ -313,19 +318,10 @@ def main(argv=None):
         if result is not None and (args.out_labels or args.out_png):
             label_map = result.label_map(scene)
             if args.out_labels:
-                import numpy as np
+                from deepmerge_tpu.infer.merge import write_label_geotiff
 
-                from deepmerge_tpu.geodata.geotiff import write_geotiff
-
-                # label ids as 3-byte little-endian uint8 planes
-                lm = label_map.astype(np.uint32)
-                packed = np.stack(
-                    [lm & 0xFF, (lm >> 8) & 0xFF, (lm >> 16) & 0xFF], -1
-                ).astype(np.uint8)
-                write_geotiff(
-                    args.out_labels, packed,
-                    scene.meta.get("geotransform", (0, 1, 0, 0, 0, -1)),
-                )
+                write_label_geotiff(args.out_labels, label_map,
+                                    scene.meta.get("geotransform"))
                 print(f"merged label map -> {args.out_labels}")
             if args.out_png:
                 from deepmerge_tpu.utils.viz import save_label_map
@@ -382,7 +378,8 @@ def main(argv=None):
             mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
         done = process_folder(cfg, args.images, args.shapefiles,
                               args.checkpoint_dir,
-                              deep_pixels=args.deep_pixels, mesh=mesh)
+                              deep_pixels=args.deep_pixels, mesh=mesh,
+                              write_labelmaps=args.write_labelmaps)
         print(f"processed {len(done)} scenes")
         return 0
 

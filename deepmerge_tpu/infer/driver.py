@@ -166,12 +166,17 @@ def process_folder(
     log_fn=print,
     deep_pixels: str = "error",
     mesh=None,
+    write_labelmaps: bool = False,
 ) -> list[str]:
     """Walk per-scene shapefile folders like the reference's multi-scene
     driver (``ExtractFeatures.py:241-303``): each subfolder holds
     PointsGCS.shp (+ lines.shp), the raster is ``<folder>.tif``.
     ``mesh`` spreads each scene's extraction and merge over the mesh's
-    data axis (see ``process_scene``)."""
+    data axis (see ``process_scene``). ``write_labelmaps`` writes each
+    scene's merged (H, W) map as ``<model>_merged.tif`` in the scene
+    folder — requires a ``<name>_labels.npy`` superpixel sidecar next to
+    the polygon shapefile (the export-synthetic layout); scenes without
+    one are skipped with a log line."""
     from concurrent.futures import ThreadPoolExecutor
 
     from deepmerge_tpu.geodata.ingest import load_scene
@@ -209,8 +214,15 @@ def process_folder(
     with ThreadPoolExecutor(max_workers=1) as pool:
         def submit(j):
             entry, image, polygons, pts, lines, _ = j
-            return pool.submit(load_scene, image, polygons, pts, lines,
-                               name=entry, deep_pixels=deep_pixels)
+
+            def load():
+                labels_npy = os.path.join(shp_folder, f"{entry}_labels.npy")
+                labels = (np.load(labels_npy)
+                          if os.path.exists(labels_npy) else None)
+                return load_scene(image, polygons, pts, lines, name=entry,
+                                  deep_pixels=deep_pixels, labels=labels)
+
+            return pool.submit(load)
 
         future = submit(jobs[0]) if jobs else None
         for i, (entry, image, polygons, points, lines, h5) in enumerate(jobs):
@@ -220,11 +232,32 @@ def process_folder(
             try:
                 scene = this_future.result()
                 log_fn(f"processing {entry} ({scene.regions.num_points} points)")
-                process_scene(
+                _, _, result = process_scene(
                     cfg, scene, model, params, batch_stats,
                     h5_path=h5, lines_path=lines, log_fn=log_fn,
                     extractor=extractor, mesh=mesh,
                 )
+                if write_labelmaps and result is not None:
+                    if os.path.exists(
+                        os.path.join(shp_folder, f"{entry}_labels.npy")
+                    ):
+                        from deepmerge_tpu.infer.merge import (
+                            write_label_geotiff,
+                        )
+
+                        out_tif = os.path.join(
+                            shp_folder, entry, f"{cfg.model.name}_merged.tif"
+                        )
+                        write_label_geotiff(
+                            out_tif, result.label_map(scene),
+                            scene.meta.get("geotransform"),
+                        )
+                        log_fn(f"  merged label map -> {out_tif}")
+                    else:
+                        log_fn(
+                            f"  no {entry}_labels.npy superpixel sidecar — "
+                            "skipping label-map export"
+                        )
                 done.append(entry)
             except Exception as e:  # one bad scene must not kill the batch walk
                 failed.append((entry, str(e)))

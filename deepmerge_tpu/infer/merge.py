@@ -266,6 +266,24 @@ def merge_scene_device(
                             edges_scored=sweeps_run * int(np.sum(valid)))
 
 
+def write_label_geotiff(path: str, label_map, geotransform=None) -> None:
+    """Write an (H, W) merged label map as a GeoTIFF.
+
+    Label ids pack into 3 little-endian uint8 planes (up to 16.7M
+    clusters) so any TIFF consumer can open the file; decode with
+    ``arr[...,0] | arr[...,1]<<8 | arr[...,2]<<16``.
+    """
+    import numpy as np
+
+    from deepmerge_tpu.geodata.geotiff import write_geotiff
+
+    lm = np.asarray(label_map).astype(np.uint32)
+    packed = np.stack(
+        [lm & 0xFF, (lm >> 8) & 0xFF, (lm >> 16) & 0xFF], -1
+    ).astype(np.uint8)
+    write_geotiff(path, packed, geotransform or (0, 1, 0, 0, 0, -1))
+
+
 def labels_to_result(labels, rounds, scene: Scene | None = None,
                      edges_scored: int | None = None) -> MergeResult:
     """Densify min-member-id labels (``device_merge`` /

@@ -332,14 +332,26 @@ def test_process_folder_mesh(tmp_path):
                         eval_batch_size=16),
         merge=MergeConfig(engine="device"),
     )
+    # superpixel sidecar so --write-labelmaps has a map to expand
+    np.save(str(shps / "tile1_labels.npy"), scene.labels)
+
     mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
     done = process_folder(cfg, str(images), str(shps),
-                          log_fn=lambda *_: None, mesh=mesh)
+                          log_fn=lambda *_: None, mesh=mesh,
+                          write_labelmaps=True)
     assert done == ["tile1"]
     h5 = shps / "tile1" / f"{cfg.model.name}_features.h5"
     assert h5.exists()
     lines = ShapefileTable.read(str(shps / "tile1" / "lines.shp"))
     assert "simi" in lines.field_names()
+
+    from deepmerge_tpu.geodata.geotiff import read_geotiff
+
+    merged = read_geotiff(str(shps / "tile1" / f"{cfg.model.name}_merged.tif"))
+    arr = merged.array.astype(np.uint32)
+    decoded = arr[..., 0] | (arr[..., 1] << 8) | (arr[..., 2] << 16)
+    assert decoded.shape == scene.labels.shape
+    assert decoded.max() < scene.regions.num_regions
 
 
 def test_load_scene_blank_inner_field_clear_error(tmp_path):
