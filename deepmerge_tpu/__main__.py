@@ -248,32 +248,72 @@ def main(argv=None):
         if args.scene_dir:
             import os
 
-            from deepmerge_tpu.geodata.ingest import load_scene
+            def load_cli_scene(name):
+                """Scene + export-synthetic sidecars ({name}_labels.npy
+                superpixel map, {name}_objects.npy ground-truth object
+                map — with them a dir trains directly, no pair txts)."""
+                import numpy as np
 
-            name = args.scene_name
-            if not name:
-                parser.error("--scene-dir needs --scene-name")
-            import numpy as np
+                from deepmerge_tpu.geodata.ingest import load_scene
 
-            # export-synthetic sidecars: {name}_labels.npy (superpixel
-            # map) and {name}_objects.npy (per-pixel ground-truth object
-            # map). With them, a dir made by export-synthetic trains
-            # directly — no pair txt files needed.
-            labels_npy = os.path.join(args.scene_dir, f"{name}_labels.npy")
-            objects_npy = os.path.join(args.scene_dir, f"{name}_objects.npy")
-            labels = np.load(labels_npy) if os.path.exists(labels_npy) else None
-            scene = load_scene(
-                os.path.join(args.scene_dir, f"{name}.tif"),
-                os.path.join(args.scene_dir, f"{name}.shp"),
-                os.path.join(args.scene_dir, name, "PointsGCS.shp"),
-                os.path.join(args.scene_dir, name, "lines.shp"),
-                labels=labels,
-                name=name,
-            )
-            if labels is not None and os.path.exists(objects_npy):
-                scene.object_of_region = _majority_object_per_region(
-                    labels, np.load(objects_npy), scene.regions.num_regions
+                labels_npy = os.path.join(args.scene_dir,
+                                          f"{name}_labels.npy")
+                objects_npy = os.path.join(args.scene_dir,
+                                           f"{name}_objects.npy")
+                labels = (np.load(labels_npy)
+                          if os.path.exists(labels_npy) else None)
+                s = load_scene(
+                    os.path.join(args.scene_dir, f"{name}.tif"),
+                    os.path.join(args.scene_dir, f"{name}.shp"),
+                    os.path.join(args.scene_dir, name, "PointsGCS.shp"),
+                    os.path.join(args.scene_dir, name, "lines.shp"),
+                    labels=labels,
+                    name=name,
                 )
+                if labels is not None and os.path.exists(objects_npy):
+                    s.object_of_region = _majority_object_per_region(
+                        labels, np.load(objects_npy), s.regions.num_regions
+                    )
+                return s
+
+            if args.scene_name:
+                scene = load_cli_scene(args.scene_name)
+            else:
+                # no --scene-name: train over EVERY scene in the dir (the
+                # reference iterates pair files over all training tiles,
+                # MyUtils1.py:236-295). Needs ground-truth sidecars per
+                # scene — pair txts stay single-scene (per-scene ids).
+                if args.pos_pairs or args.neg_pairs:
+                    parser.error(
+                        "--pos-pairs/--neg-pairs need --scene-name: pair "
+                        "ids are per-scene"
+                    )
+                names = sorted(
+                    os.path.splitext(f)[0]
+                    for f in os.listdir(args.scene_dir)
+                    if f.endswith(".shp") and os.path.exists(
+                        os.path.join(args.scene_dir,
+                                     os.path.splitext(f)[0],
+                                     "PointsGCS.shp")
+                    )
+                )
+                if not names:
+                    parser.error(
+                        f"--scene-dir {args.scene_dir}: no scenes found "
+                        "(<name>.shp + <name>/PointsGCS.shp layout)"
+                    )
+                scene = [load_cli_scene(n) for n in names]
+                for s in scene:
+                    if s.object_of_region is None:
+                        parser.error(
+                            f"scene '{s.name}' has no ground-truth sidecars "
+                            "({name}_labels.npy + {name}_objects.npy) — "
+                            "multi-scene training derives pairs from them"
+                        )
+                print(f"training over {len(scene)} scenes: "
+                      f"{[s.name for s in scene]}")
+                if len(scene) == 1:
+                    scene = scene[0]
         pos_pairs = neg_pairs = None
         if args.pos_pairs or args.neg_pairs:
             if not (args.pos_pairs and args.neg_pairs):

@@ -69,3 +69,38 @@ def test_train_cli_on_exported_scene_dir(tmp_path):
         f"train.checkpoint_dir={tmp_path / 'ckpt'}",
         f"train.log_dir={tmp_path / 'logs'}",
     ]) == 0
+
+
+def test_train_cli_multi_scene_dir(tmp_path):
+    """`train --scene-dir` WITHOUT --scene-name trains over every scene in
+    the dir (reference trains across many tiles, MyUtils1.py:236-295)."""
+    import os
+    import shutil
+
+    out = tmp_path / "scenes"
+    for seed, name in ((3, "a_tile"), (4, "b_tile")):
+        stage = tmp_path / f"stage{seed}"
+        assert main([
+            "export-synthetic", "--out", str(stage), "--size", "96",
+            "--regions", "12", "--objects", "3", "--seed", str(seed),
+        ]) == 0
+        os.makedirs(out / name, exist_ok=True)
+        os.rename(stage / "synthetic.tif", out / f"{name}.tif")
+        for ext in (".shp", ".shx", ".dbf"):
+            os.rename(stage / f"synthetic{ext}", out / f"{name}{ext}")
+            for base in ("PointsGCS", "lines"):
+                src = stage / "synthetic" / f"{base}{ext}"
+                if src.exists():
+                    os.rename(src, out / name / f"{base}{ext}")
+        for sidecar in ("labels", "objects"):
+            os.rename(stage / f"synthetic_{sidecar}.npy",
+                      out / f"{name}_{sidecar}.npy")
+        shutil.rmtree(stage)
+
+    assert main([
+        "train", "--scene-dir", str(out),
+        "--epochs", "1", "--max-steps", "1",
+        *TINY, "data.batch_size=4",
+        f"train.checkpoint_dir={tmp_path / 'ckpt'}",
+        f"train.log_dir={tmp_path / 'logs'}",
+    ]) == 0
