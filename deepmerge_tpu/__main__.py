@@ -94,6 +94,11 @@ def main(argv=None):
         help="handling for >8-bit rasters (uint16 etc.): refuse, drop low "
         "bits, or clamp",
     )
+    p_ex.add_argument(
+        "--mesh", action="store_true",
+        help="shard extraction + merge over all devices (shard_map "
+        "extraction; exact psum/pmin collective merge)",
+    )
     p_ex.add_argument("overrides", nargs="*", default=[])
 
     p_pf = sub.add_parser("process-folder")
@@ -350,9 +355,16 @@ def main(argv=None):
                            deep_pixels=args.deep_pixels,
                            labels=labels)
         model, params, bs = load_params(cfg, args.checkpoint_dir)
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from deepmerge_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
         emb, simi, result = process_scene(
             cfg, scene, model, params, bs,
-            h5_path=args.h5, lines_path=args.lines,
+            h5_path=args.h5, lines_path=args.lines, mesh=mesh,
         )
         print(f"embedded {emb.shape[0]} points; scored {len(simi)} edges")
         if result is not None and (args.out_labels or args.out_png):
