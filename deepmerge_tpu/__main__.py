@@ -99,6 +99,12 @@ def main(argv=None):
         help="shard extraction + merge over all devices (shard_map "
         "extraction; exact psum/pmin collective merge)",
     )
+    p_ex.add_argument(
+        "--stream-tiles", type=int, metavar="N",
+        help="extract through N sequential column-strip tiles so the "
+        "device never stages the whole mosaic (identical embeddings and "
+        "partition; for scenes bigger than HBM)",
+    )
     p_ex.add_argument("overrides", nargs="*", default=[])
 
     p_pf = sub.add_parser("process-folder")
@@ -118,6 +124,11 @@ def main(argv=None):
         "--write-labelmaps", action="store_true",
         help="write each scene's merged label map as <model>_merged.tif "
         "(needs a <name>_labels.npy superpixel sidecar per scene)",
+    )
+    p_pf.add_argument(
+        "--stream-tiles", type=int, metavar="N",
+        help="per-scene HBM bound: extract each scene through N "
+        "sequential column-strip tiles",
     )
     p_pf.add_argument("overrides", nargs="*", default=[])
 
@@ -357,6 +368,9 @@ def main(argv=None):
         model, params, bs = load_params(cfg, args.checkpoint_dir)
         mesh = None
         if args.mesh:
+            if args.stream_tiles:
+                parser.error("--mesh and --stream-tiles are exclusive: a "
+                             "mesh already spreads the scene across chips")
             import jax
 
             from deepmerge_tpu.parallel.mesh import make_mesh
@@ -365,6 +379,7 @@ def main(argv=None):
         emb, simi, result = process_scene(
             cfg, scene, model, params, bs,
             h5_path=args.h5, lines_path=args.lines, mesh=mesh,
+            stream_tiles=args.stream_tiles,
         )
         print(f"embedded {emb.shape[0]} points; scored {len(simi)} edges")
         if result is not None and (args.out_labels or args.out_png):
@@ -423,6 +438,9 @@ def main(argv=None):
 
         mesh = None
         if args.mesh:
+            if args.stream_tiles:
+                parser.error("--mesh and --stream-tiles are exclusive: a "
+                             "mesh already spreads each scene across chips")
             import jax
 
             from deepmerge_tpu.parallel.mesh import make_mesh
@@ -431,7 +449,8 @@ def main(argv=None):
         done = process_folder(cfg, args.images, args.shapefiles,
                               args.checkpoint_dir,
                               deep_pixels=args.deep_pixels, mesh=mesh,
-                              write_labelmaps=args.write_labelmaps)
+                              write_labelmaps=args.write_labelmaps,
+                              stream_tiles=args.stream_tiles)
         print(f"processed {len(done)} scenes")
         return 0
 

@@ -73,6 +73,7 @@ def process_scene(
     log_fn=print,
     extractor: Optional[FeatureExtractor] = None,
     mesh=None,
+    stream_tiles: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray, Optional[MergeResult]]:
     """Extract → score → (merge) one scene.
 
@@ -86,6 +87,10 @@ def process_scene(
     and the merge with the exact psum/pmin collective rounds
     (``parallel.distributed.distributed_merge``) — same partition as
     single-device, memory and FLOPs spread across the mesh.
+    ``stream_tiles`` extracts through N sequential column-strip tiles so
+    the device never holds the whole mosaic
+    (``FeatureExtractor.extract_scene_streamed``); identical embeddings
+    and partition, bounded HBM. Mutually exclusive with ``mesh``.
     """
     if model is None:
         model, params, batch_stats = load_params(cfg)
@@ -99,7 +104,12 @@ def process_scene(
     store = FeatureStore(h5_path) if h5_path else None
     try:
         with phase_timer(timings, "extract"):
-            emb = extractor.extract_scene(scene, cfg.data, store)
+            if stream_tiles is not None and stream_tiles > 1:
+                emb = extractor.extract_scene_streamed(
+                    scene, cfg.data, n_strips=stream_tiles, store=store
+                )
+            else:
+                emb = extractor.extract_scene(scene, cfg.data, store)
     finally:
         if store is not None:
             store.close()
@@ -167,6 +177,7 @@ def process_folder(
     deep_pixels: str = "error",
     mesh=None,
     write_labelmaps: bool = False,
+    stream_tiles: Optional[int] = None,
 ) -> list[str]:
     """Walk per-scene shapefile folders like the reference's multi-scene
     driver (``ExtractFeatures.py:241-303``): each subfolder holds
@@ -176,7 +187,9 @@ def process_folder(
     scene's merged (H, W) map as ``<model>_merged.tif`` in the scene
     folder — requires a ``<name>_labels.npy`` superpixel sidecar next to
     the polygon shapefile (the export-synthetic layout); scenes without
-    one are skipped with a log line."""
+    one are skipped with a log line. ``stream_tiles`` bounds per-scene HBM
+    by extracting through N sequential column strips (see
+    ``process_scene``)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from deepmerge_tpu.geodata.ingest import load_scene
@@ -236,6 +249,7 @@ def process_folder(
                     cfg, scene, model, params, batch_stats,
                     h5_path=h5, lines_path=lines, log_fn=log_fn,
                     extractor=extractor, mesh=mesh,
+                    stream_tiles=stream_tiles,
                 )
                 if write_labelmaps and result is not None:
                     if os.path.exists(

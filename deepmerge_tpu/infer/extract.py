@@ -82,6 +82,51 @@ class FeatureStore:
             return np.asarray(f[dataset_name])
 
 
+def _plan_strips(scene: Scene, caps, xs: np.ndarray, order: np.ndarray,
+                 n_strips: int):
+    """Contiguous x-sorted point groups + per-strip crop bounds.
+
+    Each strip's crop covers its points' x-range ± ``scene_pad`` (the
+    window gather's exact maximum reach, see ``stage_scene_shards``'s halo
+    argument in ``parallel/distributed.py``), so strip-local windows read
+    the same bytes as whole-scene staging. All strips share the max width
+    so one compiled program serves every strip.
+    """
+    from deepmerge_tpu.ops.patches import scene_pad
+
+    halo = scene_pad(caps, scene.image.shape[-1])
+    w = scene.image.shape[1]
+    groups = [g for g in np.array_split(order, n_strips) if len(g)]
+    bounds = []
+    for g in groups:
+        gx = xs[g]
+        xlo = max(int(gx.min()) - halo, 0)
+        xhi = min(int(gx.max()) + halo + 1, w)
+        bounds.append((xlo, xhi))
+    wmax = max(xhi - xlo for xlo, xhi in bounds)
+    return groups, bounds, wmax
+
+
+def _strips_for_budget(scene: Scene, caps, xs: np.ndarray, order: np.ndarray,
+                       budget_bytes: int, max_strips: int = 256) -> int:
+    """Smallest strip count whose staged tile fits ``budget_bytes``."""
+    from deepmerge_tpu.ops.patches import scene_pad, staged_channels
+
+    h = scene.image.shape[0]
+    p = scene_pad(caps, scene.image.shape[-1])
+    cs = staged_channels(scene.image.shape[-1])
+    for ns in range(1, max_strips + 1):
+        _, _, wmax = _plan_strips(scene, caps, xs, order, ns)
+        if (h + 2 * p) * (wmax + 2 * p) * cs <= budget_bytes:
+            return ns
+    raise ValueError(
+        f"no column-strip split of scene '{scene.name}' fits "
+        f"{budget_bytes} bytes (halo alone is {p} px per side; "
+        f"{max_strips} strips still stage "
+        f"{(h + 2 * p) * (wmax + 2 * p) * cs} bytes)"
+    )
+
+
 class FeatureExtractor:
     """Embeds every sample point of a scene (``extract_features``, ref :45-86).
 
@@ -343,6 +388,104 @@ class FeatureExtractor:
             ),
         )
         return n, nb, args
+
+    def extract_scene_streamed(
+        self,
+        scene: Scene,
+        cfg: DataConfig,
+        n_strips: int | None = None,
+        hbm_budget_bytes: int | None = None,
+        store: Optional[FeatureStore] = None,
+    ) -> np.ndarray:
+        """Embed all points WITHOUT staging the whole mosaic in HBM.
+
+        The streamed analog of the reference's sequential tile walk
+        (``ExtractFeatures.py:241-303``) for ONE scene too big for device
+        memory: the host keeps the mosaic, the device sees one column
+        strip at a time (the points' x-range plus a ``scene_pad`` halo —
+        the exact reach of the window gather, so every patch byte is
+        identical to whole-scene staging). All strips pad to a shared
+        width, so the pipeline compiles ONCE and every strip replays it.
+
+        Embeddings come back in global point-FID order; downstream scoring
+        and merge (host union-find or device label-prop) are unchanged —
+        strip boundaries never affect the partition because the merge sees
+        the full RAG with all embeddings.
+
+        Pass ``n_strips`` directly, or ``hbm_budget_bytes`` to pick the
+        smallest strip count whose staged tile fits the budget.
+        """
+        if self.mesh is not None:
+            raise ValueError(
+                "extract_scene_streamed is single-device only — a mesh "
+                "already spreads the scene across chips "
+                "(parallel.distributed.extract_and_merge_sharded)"
+            )
+        from deepmerge_tpu.ops.patches import (
+            adaptive_scales,
+            pad_scene,
+            staging_caps,
+        )
+
+        n = scene.regions.num_points
+        if n == 0:
+            raise ValueError("scene has no sample points — nothing to extract")
+        feats_all, inner_all, obj_all = scene.regions.point_meta()
+        # GLOBAL caps (all points), like whole-scene staging: identical
+        # window clamps, resize weights and compiled shapes
+        caps = staging_caps(inner_all, obj_all, cfg.patch_sizes,
+                            cfg.max_window, scene_name=scene.name)
+        xs = scene.regions.points_yx[:, 1].astype(np.int64)
+        order = np.argsort(xs, kind="stable")
+        if n_strips is None:
+            if hbm_budget_bytes is None:
+                raise ValueError("pass n_strips or hbm_budget_bytes")
+            n_strips = _strips_for_budget(
+                scene, caps, xs, order, hbm_budget_bytes
+            )
+        groups, bounds, wmax = _plan_strips(
+            scene, caps, xs, order, n_strips
+        )
+
+        h, w = scene.image.shape[:2]
+        c = scene.image.shape[-1]
+        targets = tuple(cfg.patch_sizes) + (1,) * (
+            cfg.factor_slots - len(cfg.patch_sizes)
+        )
+        bs = self.batch_size
+        out = None
+        for g, (xlo, xhi) in zip(groups, bounds):
+            tile = np.zeros((h, wmax, c), scene.image.dtype)
+            tile[:, : xhi - xlo] = scene.image[:, xlo:xhi]
+            padded = jnp.asarray(pad_scene(tile, caps))
+            centers = scene.regions.points_yx[g].astype(np.int32).copy()
+            centers[:, 1] -= xlo
+            for start in range(0, len(g), bs):
+                idx = np.arange(start, min(start + bs, len(g)))
+                pad = bs - len(idx)
+                if pad:
+                    idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+                gi = g[idx]
+                scales, factors = adaptive_scales(
+                    inner_all[gi], obj_all[gi], targets
+                )
+                emb = np.asarray(
+                    self._fused(
+                        self.params, self.batch_stats, padded,
+                        jnp.asarray(centers[idx]), scales, factors,
+                        jnp.asarray(feats_all[gi], jnp.float32),
+                        caps=caps, quantize=cfg.quantize_uint8,
+                    ),
+                    np.float32,
+                )
+                if out is None:
+                    out = np.empty((n, emb.shape[-1]), np.float32)
+                real = bs - pad
+                out[g[idx[:real]]] = emb[:real]
+            del padded  # free the strip tile before staging the next
+        if store is not None:
+            store.append(out)  # append once, in global FID order
+        return out
 
     def segment_scene_device(
         self,

@@ -104,3 +104,25 @@ def test_train_cli_multi_scene_dir(tmp_path):
         f"train.checkpoint_dir={tmp_path / 'ckpt'}",
         f"train.log_dir={tmp_path / 'logs'}",
     ]) == 0
+
+
+def test_extract_cli_stream_tiles(tmp_path, capsys):
+    """`extract --stream-tiles N` runs the streamed strip extraction end to
+    end (and refuses to combine with --mesh)."""
+    import pytest
+
+    out = tmp_path / "scene"
+    assert main([
+        "export-synthetic", "--out", str(out), "--size", "96",
+        "--regions", "16", "--objects", "4", "--seed", "9",
+    ]) == 0
+    scene_args = [
+        "--image", str(out / "synthetic.tif"),
+        "--polygons", str(out / "synthetic.shp"),
+        "--points", str(out / "synthetic" / "PointsGCS.shp"),
+        "--lines", str(out / "synthetic" / "lines.shp"),
+    ]
+    assert main(["extract", *scene_args, "--stream-tiles", "3", *TINY]) == 0
+    assert "embedded" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        main(["extract", *scene_args, "--stream-tiles", "3", "--mesh", *TINY])

@@ -248,3 +248,83 @@ def test_process_scene_mesh_matches_single_device(tiny_model_cfg,
     np.testing.assert_array_equal(res2.region_to_cluster,
                                   res1.region_to_cluster)
     assert res2.num_clusters == res1.num_clusters
+
+
+def test_streamed_extraction_matches_whole_scene(tiny_model_cfg,
+                                                 tiny_data_cfg):
+    """Column-strip streamed extraction (device never stages the whole
+    mosaic) == whole-scene staging, bit-for-bit: the strip halo covers the
+    window gather's exact reach, so every patch byte is identical."""
+    from deepmerge_tpu.models.s2former import init_params
+
+    scene = generate_scene(h=144, w=320, n_regions=48, n_objects=6, seed=21)
+    model = build_model(tiny_model_cfg)
+    params = init_params(model, jax.random.key(0))["params"]
+    extractor = FeatureExtractor(model, params, batch_size=16)
+
+    whole = extractor.extract_scene(scene, tiny_data_cfg)
+    store = FeatureStore()
+    streamed = extractor.extract_scene_streamed(
+        scene, tiny_data_cfg, n_strips=4, store=store
+    )
+    np.testing.assert_array_equal(streamed, whole)
+    np.testing.assert_array_equal(store.read_all(), whole)
+
+    # budget route: a budget sized to an 8-strip plan forces >1 strips
+    # (the halo makes tiny-scene strips proportionally wide, so absolute
+    # fractions of the whole-scene bytes are not feasible here)
+    from deepmerge_tpu.infer.extract import _plan_strips, _strips_for_budget
+    from deepmerge_tpu.ops.patches import scene_pad, staged_channels, staging_caps
+
+    feats, inner, obj = scene.regions.point_meta()
+    caps = staging_caps(inner, obj, tiny_data_cfg.patch_sizes,
+                        tiny_data_cfg.max_window)
+    p = scene_pad(caps, scene.image.shape[-1])
+    cs = staged_channels(scene.image.shape[-1])
+    xs = scene.regions.points_yx[:, 1].astype(np.int64)
+    order = np.argsort(xs, kind="stable")
+    _, _, wmax8 = _plan_strips(scene, caps, xs, order, 8)
+    budget_bytes = (scene.image.shape[0] + 2 * p) * (wmax8 + 2 * p) * cs
+    ns = _strips_for_budget(scene, caps, xs, order, budget_bytes)
+    assert 1 < ns <= 8
+    budget = extractor.extract_scene_streamed(
+        scene, tiny_data_cfg, hbm_budget_bytes=budget_bytes
+    )
+    np.testing.assert_array_equal(budget, whole)
+
+
+def test_process_scene_streamed_matches_default(tiny_model_cfg,
+                                                tiny_data_cfg):
+    """Driver-level stream_tiles path: same embeddings, simi and partition
+    as the default whole-scene staging."""
+    from deepmerge_tpu.infer.driver import process_scene
+    from deepmerge_tpu.models.s2former import init_params
+
+    scene = generate_scene(h=128, w=256, n_regions=32, n_objects=5, seed=22)
+    cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg)
+    model = build_model(tiny_model_cfg)
+    params = init_params(model, jax.random.key(0))["params"]
+
+    emb1, simi1, res1 = process_scene(cfg, scene, model, params, None,
+                                      log_fn=lambda *_: None)
+    emb2, simi2, res2 = process_scene(cfg, scene, model, params, None,
+                                      log_fn=lambda *_: None, stream_tiles=3)
+    np.testing.assert_array_equal(emb2, emb1)
+    np.testing.assert_array_equal(simi2, simi1)
+    np.testing.assert_array_equal(res2.region_to_cluster,
+                                  res1.region_to_cluster)
+
+
+def test_streamed_extraction_mesh_exclusive(tiny_model_cfg, tiny_data_cfg,
+                                            small_scene):
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.parallel.mesh import make_mesh
+
+    import pytest
+
+    model = build_model(tiny_model_cfg)
+    params = init_params(model, jax.random.key(0))["params"]
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    ex = FeatureExtractor(model, params, batch_size=16, mesh=mesh)
+    with pytest.raises(ValueError, match="single-device"):
+        ex.extract_scene_streamed(small_scene, tiny_data_cfg, n_strips=2)
