@@ -71,6 +71,12 @@ def flax_to_torch_state_dict(variables: Mapping, mcfg) -> dict[str, np.ndarray]:
     Returns {torch_key: np.ndarray} covering every key of the matching
     reference class (v1–v6).
     """
+    if mcfg.variant == "vit":
+        raise ValueError(
+            "variant='vit' checkpoints interop via compat.vit_import "
+            "(timm-style partial load) — the S2Former .pth mapper does "
+            "not cover the ScaleEmbedTransformer layout"
+        )
     p = variables["params"]
     bs = variables.get("batch_stats", {})
     D = mcfg.embed_dim

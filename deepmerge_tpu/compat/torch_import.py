@@ -285,6 +285,12 @@ def load_torch_checkpoint(path: str, cfg) -> dict:
 
     from deepmerge_tpu.models.s2former import build_model, init_params
 
+    if cfg.model.variant == "vit":
+        raise ValueError(
+            "variant='vit' checkpoints interop via compat.vit_import "
+            "(timm-style partial load) — the S2Former .pth mapper does "
+            "not cover the ScaleEmbedTransformer layout"
+        )
     raw = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = raw.get("net", raw) if isinstance(raw, dict) else raw
     if hasattr(state_dict, "state_dict"):  # a full nn.Module was pickled

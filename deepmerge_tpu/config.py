@@ -25,7 +25,7 @@ class ModelConfig:
     (``Train_SMT.py:374``).
     """
 
-    variant: str = "v3"                       # v1 | v2 | v3 | v4 | v5 | v6
+    variant: str = "v3"                       # v1..v6 | "vit" (ScaleEmbedTransformer)
     input_image_scales: tuple[int, ...] = (32, 64, 128)
     cube: int = 8                             # stage-0 token grid side per scale
     embed_dim: int = 768
@@ -64,7 +64,10 @@ class ModelConfig:
     @property
     def name(self) -> str:
         # Self-describing name, analog of nets/ShfitScaleFormer.py:791-796.
-        tag = f"S2Former_{self.variant}-{self.n_scales}CH"
+        if self.variant == "vit":
+            tag = f"ScaleEmbedViT-{self.n_scales}CH"
+        else:
+            tag = f"S2Former_{self.variant}-{self.n_scales}CH"
         if self.use_designed_features:
             tag += "-3DP-SEF"
         depth = "".join(str(d) for d in self.depth)

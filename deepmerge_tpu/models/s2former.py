@@ -714,7 +714,22 @@ class S2Former(nn.Module):
         return self.head(embedding)
 
 
-def build_model(cfg: ModelConfig) -> S2Former:
+def build_model(cfg: ModelConfig):
+    """Backbone factory for the pipeline: S2Former v1–v6, or the
+    ScaleEmbedTransformer precursor via ``variant="vit"`` (adapter in
+    ``models/vit.py`` — the wiring the reference imported but never ran,
+    ``Train_SMT.py:26``)."""
+    if cfg.variant == "vit":
+        if tuple(cfg.input_image_scales) != (28, 56, 112, 224):
+            raise ValueError(
+                "variant='vit' uses the ScaleEmbedTransformer's FIXED "
+                "patch-embed sizes: set model.input_image_scales=28,56,112,"
+                "224 (and data.patch_sizes to match) — got "
+                f"{tuple(cfg.input_image_scales)} (vit_model.py:359-362)"
+            )
+        from deepmerge_tpu.models.vit import ScaleEmbedBackbone
+
+        return ScaleEmbedBackbone(cfg)
     if cfg.variant == "v1":
         assert cfg.n_scales == 4, "v1 uses 4 fixed scales (ref :454-457)"
     return S2Former(cfg)

@@ -283,3 +283,49 @@ def vit_huge_patch14_224_in21k(num_classes: int = 21843,
         representation_size=1280 if has_logits else None,
         num_classes=num_classes, **kw,
     )
+
+
+class ScaleEmbedBackbone(nn.Module):
+    """Pipeline adapter: ``(patches, designed, train) -> embedding``.
+
+    Makes the ScaleEmbedTransformer a drop-in backbone for the extraction/
+    training pipeline (``config.ModelConfig(variant="vit")``), the wiring
+    the reference sketched but never shipped — ``vit_model`` is imported at
+    ``Train_SMT.py:26`` yet commented out of ``main()``. The pipeline
+    contract passes one ``designed`` vector; per ``MyUtils1.py:151-156``
+    its trailing ``factor_slots`` entries ARE the per-scale factors, so the
+    adapter slices them for the pos-embed scaling (``vit_model.py:455-462``)
+    instead of taking a separate argument.
+
+    Requires ``input_image_scales == (28, 56, 112, 224)`` (the transformer's
+    fixed patch-embed sizes) and matching ``data.patch_sizes`` — all four
+    slots carry real resize targets here, unlike S2Former's factor-only
+    fourth slot.
+    """
+
+    cfg: Any  # ModelConfig
+
+    @nn.compact
+    def __call__(self, patches, designed, train: bool = False):
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        vit = ScaleEmbedTransformer(
+            num_classes=c.num_classes,
+            embed_dim=c.embed_dim,
+            depth=sum(c.depth),
+            num_heads=c.num_heads,
+            mlp_ratio=c.mlp_ratio,
+            out_dim=c.out_dim,
+            feature_embed=c.use_designed_features,
+            label_embed=False,
+            drop_ratio=c.drop_ratio,
+            attn_drop_ratio=c.attn_drop_ratio,
+            drop_path_ratio=c.drop_path_ratio,
+            exact_gelu=c.exact_gelu,
+            dtype=dtype,
+            name="vit",
+        )
+        factors = None
+        if designed is not None:
+            factors = designed[:, -4:].astype(dtype)
+        return vit(tuple(patches), designed, factors, train)
