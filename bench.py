@@ -56,11 +56,18 @@ def main():
     model = build_model(mcfg)
     variables = init_params(model, jax.random.key(0), batch=2)
 
+    # BENCH_STREAM=N (>1): run the bigger-than-HBM streamed-strip
+    # extraction path instead of the fused single-dispatch program —
+    # measures the streaming overhead (per-strip dispatches + host
+    # reassembly of the embeddings), not the headline
+    stream = int(os.environ.get("BENCH_STREAM", "0"))
+
     scene = generate_scene(
         h=H, w=W, n_regions=N_REGIONS, n_objects=256,
         points_per_region=POINTS_PER_REGION, seed=0,
     )
-    ds = stage_scene(scene, dcfg)
+    # streamed mode never stages the whole scene (that's its point)
+    ds = None if stream > 1 else stage_scene(scene, dcfg)
     extractor = FeatureExtractor(
         model, variables["params"],
         batch_stats=dict(variables.get("batch_stats", {})) or None,
@@ -89,11 +96,19 @@ def main():
         # threshold, merge — is ONE device program. The TIMED path is
         # identical with and without BENCH_VERBOSE (verbose adds a
         # separate attribution pass outside the timed loop).
-        simi, labels, rounds = extractor.segment_scene_device(
-            scene, dcfg, edges_dev, valid_dev,
-            num_regions=scene.regions.num_regions, max_rounds=8,
-            device_scene=ds,
-        )
+        if stream > 1:
+            emb = extractor.extract_scene_streamed(scene, dcfg,
+                                                   n_strips=stream)
+            simi, labels, rounds = device_score_and_merge(
+                jnp.asarray(emb), pr_dev, edges_dev, valid_dev,
+                num_regions=scene.regions.num_regions, max_rounds=8,
+            )
+        else:
+            simi, labels, rounds = extractor.segment_scene_device(
+                scene, dcfg, edges_dev, valid_dev,
+                num_regions=scene.regions.num_regions, max_rounds=8,
+                device_scene=ds,
+            )
         rounds = int(rounds)  # sync: the merge finished
         label_map, n_clusters = merged_label_map(labels, region_map_dev)
         int(n_clusters)  # sync; the (H, W) map stays on device
@@ -131,7 +146,13 @@ def main():
     # median: robust to one-off host hiccups (GC, relay stalls) that made
     # successive identical-code runs draw 3.31–3.41 (BENCH.md round 3)
     dt = float(np.median(times))
-    if verbose:
+    if verbose and stream > 1:
+        print("[bench] BENCH_STREAM>1: phase attribution skipped (the "
+              "two-dispatch pass would stage the whole scene)",
+              file=sys.stderr)
+        print(f"[bench] run times: {[round(x, 4) for x in times]} -> "
+              f"median {dt:.4f}s", file=sys.stderr)
+    elif verbose:
         attribution_pass()  # compile
         phases.clear()
         att_runs = 2
