@@ -130,6 +130,15 @@ def main(argv=None):
         help="per-scene HBM bound: extract each scene through N "
         "sequential column-strip tiles",
     )
+    p_pf.add_argument(
+        "--watch", type=float, metavar="SECONDS",
+        help="serving loop: rescan the folder every SECONDS and process "
+        "newly appeared scenes (failed scenes retry each scan)",
+    )
+    p_pf.add_argument(
+        "--watch-iterations", type=int, metavar="K",
+        help="stop after K folder scans (default: until killed)",
+    )
     p_pf.add_argument("overrides", nargs="*", default=[])
 
     p_syn = sub.add_parser("export-synthetic")
@@ -450,7 +459,9 @@ def main(argv=None):
                               args.checkpoint_dir,
                               deep_pixels=args.deep_pixels, mesh=mesh,
                               write_labelmaps=args.write_labelmaps,
-                              stream_tiles=args.stream_tiles)
+                              stream_tiles=args.stream_tiles,
+                              watch_seconds=args.watch,
+                              watch_iterations=args.watch_iterations)
         print(f"processed {len(done)} scenes")
         return 0
 

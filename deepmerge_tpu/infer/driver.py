@@ -178,6 +178,8 @@ def process_folder(
     mesh=None,
     write_labelmaps: bool = False,
     stream_tiles: Optional[int] = None,
+    watch_seconds: Optional[float] = None,
+    watch_iterations: Optional[int] = None,
 ) -> list[str]:
     """Walk per-scene shapefile folders like the reference's multi-scene
     driver (``ExtractFeatures.py:241-303``): each subfolder holds
@@ -189,7 +191,16 @@ def process_folder(
     the polygon shapefile (the export-synthetic layout); scenes without
     one are skipped with a log line. ``stream_tiles`` bounds per-scene HBM
     by extracting through N sequential column strips (see
-    ``process_scene``)."""
+    ``process_scene``).
+
+    ``watch_seconds`` turns the single walk into a serving loop: rescan
+    the folder every N seconds and process scenes that newly appeared
+    (already-done scenes are skipped; failed scenes retry on the next
+    scan, so transient errors self-heal while the failure stays visible
+    in the log). ``watch_iterations`` bounds the number of scans (None =
+    until killed); the compiled extractor is reused across scans, so a
+    steady stream of identically-shaped tiles never recompiles."""
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
     from deepmerge_tpu.geodata.ingest import load_scene
@@ -202,85 +213,107 @@ def process_folder(
         model, params, batch_stats, batch_size=cfg.data.eval_batch_size,
         mesh=mesh,
     )
-    jobs = []
-    for entry in sorted(os.listdir(shp_folder)):
-        sub = os.path.join(shp_folder, entry)
-        points = os.path.join(sub, "PointsGCS.shp")
-        if not os.path.isdir(sub) or not os.path.exists(points):
-            continue
-        jobs.append((
-            entry,
-            os.path.join(image_folder, f"{entry}.tif"),
-            os.path.join(shp_folder, f"{entry}.shp"),
-            points,
-            os.path.join(sub, "lines.shp"),
-            os.path.join(sub, f"{cfg.model.name}_features.h5"),
-        ))
 
-    done = []
+    def scan_jobs(skip):
+        jobs = []
+        for entry in sorted(os.listdir(shp_folder)):
+            sub = os.path.join(shp_folder, entry)
+            points = os.path.join(sub, "PointsGCS.shp")
+            if entry in skip or not os.path.isdir(sub) \
+                    or not os.path.exists(points):
+                continue
+            jobs.append((
+                entry,
+                os.path.join(image_folder, f"{entry}.tif"),
+                os.path.join(shp_folder, f"{entry}.shp"),
+                points,
+                os.path.join(sub, "lines.shp"),
+                os.path.join(sub, f"{cfg.model.name}_features.h5"),
+            ))
+        return jobs
+
+    done: list[str] = []
     failed: list[tuple[str, str]] = []
-    # One-deep prefetch: scene k+1's host ingestion (TIFF decode + shapefile
-    # parse) runs on a worker thread while scene k occupies the device — the
-    # GIL is free during device waits and inside the native/zlib codecs. A
-    # prefetch failure surfaces at .result() inside scene k+1's own try
-    # block, preserving per-scene fault isolation.
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        def submit(j):
-            entry, image, polygons, pts, lines, _ = j
 
-            def load():
-                labels_npy = os.path.join(shp_folder, f"{entry}_labels.npy")
-                labels = (np.load(labels_npy)
-                          if os.path.exists(labels_npy) else None)
-                return load_scene(image, polygons, pts, lines, name=entry,
-                                  deep_pixels=deep_pixels, labels=labels)
+    def walk(jobs):
+        # One-deep prefetch: scene k+1's host ingestion (TIFF decode +
+        # shapefile parse) runs on a worker thread while scene k occupies
+        # the device — the GIL is free during device waits and inside the
+        # native/zlib codecs. A prefetch failure surfaces at .result()
+        # inside scene k+1's own try block, preserving per-scene fault
+        # isolation.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            def submit(j):
+                entry, image, polygons, pts, lines, _ = j
 
-            return pool.submit(load)
+                def load():
+                    labels_npy = os.path.join(shp_folder,
+                                              f"{entry}_labels.npy")
+                    labels = (np.load(labels_npy)
+                              if os.path.exists(labels_npy) else None)
+                    return load_scene(image, polygons, pts, lines,
+                                      name=entry, deep_pixels=deep_pixels,
+                                      labels=labels)
 
-        future = submit(jobs[0]) if jobs else None
-        for i, (entry, image, polygons, points, lines, h5) in enumerate(jobs):
-            this_future, future = future, (
-                submit(jobs[i + 1]) if i + 1 < len(jobs) else None
-            )
-            try:
-                scene = this_future.result()
-                log_fn(f"processing {entry} ({scene.regions.num_points} points)")
-                _, _, result = process_scene(
-                    cfg, scene, model, params, batch_stats,
-                    h5_path=h5, lines_path=lines, log_fn=log_fn,
-                    extractor=extractor, mesh=mesh,
-                    stream_tiles=stream_tiles,
+                return pool.submit(load)
+
+            future = submit(jobs[0]) if jobs else None
+            for i, (entry, image, polygons, points, lines, h5) in enumerate(jobs):
+                this_future, future = future, (
+                    submit(jobs[i + 1]) if i + 1 < len(jobs) else None
                 )
-                if write_labelmaps and result is not None:
-                    if os.path.exists(
-                        os.path.join(shp_folder, f"{entry}_labels.npy")
-                    ):
-                        from deepmerge_tpu.infer.merge import (
-                            write_label_geotiff,
-                        )
+                try:
+                    scene = this_future.result()
+                    log_fn(f"processing {entry} "
+                           f"({scene.regions.num_points} points)")
+                    _, _, result = process_scene(
+                        cfg, scene, model, params, batch_stats,
+                        h5_path=h5, lines_path=lines, log_fn=log_fn,
+                        extractor=extractor, mesh=mesh,
+                        stream_tiles=stream_tiles,
+                    )
+                    if write_labelmaps and result is not None:
+                        if os.path.exists(
+                            os.path.join(shp_folder, f"{entry}_labels.npy")
+                        ):
+                            from deepmerge_tpu.infer.merge import (
+                                write_label_geotiff,
+                            )
 
-                        out_tif = os.path.join(
-                            shp_folder, entry, f"{cfg.model.name}_merged.tif"
-                        )
-                        write_label_geotiff(
-                            out_tif, result.label_map(scene),
-                            scene.meta.get("geotransform"),
-                        )
-                        log_fn(f"  merged label map -> {out_tif}")
-                    else:
-                        log_fn(
-                            f"  no {entry}_labels.npy superpixel sidecar — "
-                            "skipping label-map export"
-                        )
-                done.append(entry)
-            except Exception as e:  # one bad scene must not kill the batch walk
-                failed.append((entry, str(e)))
-                log_fn(f"FAILED {entry}: {e}")
-                try:  # don't leave a truncated feature file looking complete
-                    if os.path.exists(h5):
-                        os.remove(h5)
-                except OSError:
-                    pass
+                            out_tif = os.path.join(
+                                shp_folder, entry,
+                                f"{cfg.model.name}_merged.tif"
+                            )
+                            write_label_geotiff(
+                                out_tif, result.label_map(scene),
+                                scene.meta.get("geotransform"),
+                            )
+                            log_fn(f"  merged label map -> {out_tif}")
+                        else:
+                            log_fn(
+                                f"  no {entry}_labels.npy superpixel "
+                                "sidecar — skipping label-map export"
+                            )
+                    done.append(entry)
+                except Exception as e:  # a bad scene must not kill the walk
+                    failed.append((entry, str(e)))
+                    log_fn(f"FAILED {entry}: {e}")
+                    try:  # don't leave a truncated file looking complete
+                        if os.path.exists(h5):
+                            os.remove(h5)
+                    except OSError:
+                        pass
+
+    iteration = 0
+    while True:
+        walk(scan_jobs(skip=set(done)))
+        iteration += 1
+        if watch_iterations is not None and iteration >= watch_iterations:
+            break
+        if watch_seconds is None:
+            break  # default: one pass, like the reference's walk
+        time.sleep(watch_seconds)
     if failed:
-        log_fn(f"{len(failed)} scene(s) failed: {[f[0] for f in failed]}")
+        log_fn(f"{len(failed)} scene(s) failed: "
+               f"{sorted(set(f[0] for f in failed))}")
     return done

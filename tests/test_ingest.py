@@ -375,3 +375,54 @@ def test_load_scene_blank_inner_field_clear_error(tmp_path):
     with pytest.raises(ValueError, match="blank 'inner'"):
         load_scene(paths["image"], paths["polygons"], paths["points"],
                    paths["lines"])
+
+
+def test_process_folder_watch_picks_up_new_scenes(tmp_path):
+    """Serving loop: a scene dropped into the folder between scans is
+    processed on the next scan, and already-done scenes are not redone."""
+    import os
+
+    from deepmerge_tpu.config import Config, DataConfig, MergeConfig, ModelConfig
+    from deepmerge_tpu.infer.driver import process_folder
+
+    images = tmp_path / "images"
+    shps = tmp_path / "shps"
+
+    def stage(seed, name):
+        scene = generate_scene(h=96, w=96, n_regions=10, n_objects=3,
+                               seed=seed, name=name)
+        paths = export_scene(scene, str(tmp_path / f"stage{seed}"))
+        os.makedirs(images, exist_ok=True)
+        os.makedirs(shps / name, exist_ok=True)
+        os.rename(paths["image"], images / f"{name}.tif")
+        for ext in (".shp", ".shx", ".dbf"):
+            os.rename(str(tmp_path / f"stage{seed}" / f"{name}{ext}"),
+                      shps / f"{name}{ext}")
+            for base in ("PointsGCS", "lines"):
+                src = tmp_path / f"stage{seed}" / name / f"{base}{ext}"
+                if src.exists():
+                    os.rename(str(src), shps / name / f"{base}{ext}")
+
+    stage(1, "tile1")
+    cfg = Config(
+        model=ModelConfig(variant="v3", input_image_scales=(16, 32, 64),
+                          cube=8, embed_dim=32, depth=(1, 1, 1), num_heads=4,
+                          out_dim=8, dtype="float32"),
+        data=DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+                        eval_batch_size=16),
+        merge=MergeConfig(engine="host"),
+    )
+
+    dropped = []
+
+    def log_fn(msg):
+        # drop tile2 into the watched folder while tile1 is processing —
+        # the FIRST scan must not see it, the second must
+        if not dropped and str(msg).startswith("processing tile1"):
+            stage(2, "tile2")
+            dropped.append(True)
+
+    done = process_folder(cfg, str(images), str(shps), log_fn=log_fn,
+                          watch_seconds=0.01, watch_iterations=3)
+    assert done == ["tile1", "tile2"]  # tile1 exactly once, tile2 picked up
+    assert (shps / "tile2" / f"{cfg.model.name}_features.h5").exists()
