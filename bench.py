@@ -91,11 +91,17 @@ def main():
     # STAYS device-resident for downstream device consumers
     region_map_dev = jnp.asarray(scene.labels, jnp.int32)
 
+    # BENCH_FUSED_MAP=0: A/B the pre-fusion tail (merge program, host sync,
+    # then a separate labelmap dispatch + sync) against the default fused
+    # single-program single-sync path
+    fused_map = os.environ.get("BENCH_FUSED_MAP", "1") != "0"
+
     def run_once():
         # the whole pipeline — gather, resize, forward, pool, score,
-        # threshold, merge — is ONE device program. The TIMED path is
-        # identical with and without BENCH_VERBOSE (verbose adds a
-        # separate attribution pass outside the timed loop).
+        # threshold, merge, dense (H, W) labelmap — is ONE device program
+        # with ONE host sync. The TIMED path is identical with and without
+        # BENCH_VERBOSE (verbose adds a separate attribution pass outside
+        # the timed loop).
         if stream > 1:
             emb = extractor.extract_scene_streamed(scene, dcfg,
                                                    n_strips=stream)
@@ -103,14 +109,27 @@ def main():
                 jnp.asarray(emb), pr_dev, edges_dev, valid_dev,
                 num_regions=scene.regions.num_regions, max_rounds=8,
             )
+            # dispatch the labelmap BEFORE pulling the merge scalar —
+            # dispatches are async, so the device runs them back-to-back
+            # instead of paying a relay round-trip in between
+            label_map, n_clusters = merged_label_map(labels, region_map_dev)
+        elif fused_map:
+            simi, labels, rounds, label_map, n_clusters = (
+                extractor.segment_scene_device(
+                    scene, dcfg, edges_dev, valid_dev,
+                    num_regions=scene.regions.num_regions, max_rounds=8,
+                    device_scene=ds, region_map=region_map_dev,
+                )
+            )
         else:
             simi, labels, rounds = extractor.segment_scene_device(
                 scene, dcfg, edges_dev, valid_dev,
                 num_regions=scene.regions.num_regions, max_rounds=8,
                 device_scene=ds,
             )
+            rounds = int(rounds)  # sync before the labelmap dispatch
+            label_map, n_clusters = merged_label_map(labels, region_map_dev)
         rounds = int(rounds)  # sync: the merge finished
-        label_map, n_clusters = merged_label_map(labels, region_map_dev)
         int(n_clusters)  # sync; the (H, W) map stays on device
         return rounds
 

@@ -222,6 +222,30 @@ class FeatureExtractor:
                 static_argnames=("caps", "quantize", "n_points",
                                  "num_regions", "max_rounds"),
             )
+
+            # same program + the dense (H, W) merged label map: one
+            # dispatch AND one host sync for the entire scene (the
+            # two-dispatch tail pays a full relay round-trip between the
+            # merge and the labelmap — ~30ms/scene on relayed platforms)
+            def fused_segment_map(params, batch_stats, padded, centers,
+                                  scales, factors, feats, n_points, pr,
+                                  edges, valid, region_map, caps, quantize,
+                                  num_regions, max_rounds):
+                from deepmerge_tpu.ops.labelprop import merged_label_map
+
+                simi, labels, rounds = fused_segment(
+                    params, batch_stats, padded, centers, scales, factors,
+                    feats, n_points, pr, edges, valid, caps, quantize,
+                    num_regions, max_rounds,
+                )
+                label_map, n_clusters = merged_label_map(labels, region_map)
+                return simi, labels, rounds, label_map, n_clusters
+
+            self._fused_segment_map = jax.jit(
+                fused_segment_map,
+                static_argnames=("caps", "quantize", "n_points",
+                                 "num_regions", "max_rounds"),
+            )
         else:
             # multi-chip extraction: replicate params + scene, split the
             # point batch over the 'data' axis with shard_map (Pallas kernels
@@ -496,6 +520,7 @@ class FeatureExtractor:
         num_regions: int,
         max_rounds: int = 16,
         device_scene: Optional[DeviceScene] = None,
+        region_map=None,
     ):
         """Extract + pool + score + merge a scene in ONE dispatch.
 
@@ -503,16 +528,35 @@ class FeatureExtractor:
         returns (simi, labels, rounds) exactly like
         ``ops/labelprop.device_score_and_merge`` — embeddings never leave
         the program, let alone the device. Single-device path only.
+
+        With ``region_map`` (the (H, W) int32 superpixel-id map, ideally a
+        device array uploaded once per scene), the program additionally
+        dense-relabels and expands the merged (H, W) label map
+        (``ops/labelprop.merged_label_map``) and returns
+        ``(simi, labels, rounds, label_map, n_clusters)`` — still ONE
+        dispatch and one host sync for the whole scene.
         """
         if self.mesh is not None:
             raise ValueError("segment_scene_device is single-device only")
         ds = device_scene or stage_scene(scene, cfg)
         n, _, args = self._chunked_inputs(ds, cfg)
-        return self._fused_segment(
-            self.params, self.batch_stats, ds.padded, *args,
-            n_points=n,
-            pr=jnp.asarray(scene.regions.point_region, jnp.int32),
+        # the point→region map uploads once per staged scene (same
+        # rationale as _chunked_inputs: repeated runs shouldn't re-pay it)
+        pr = getattr(ds, "_point_region_device", None)
+        if pr is None:
+            pr = jnp.asarray(ds.point_region, jnp.int32)
+            object.__setattr__(ds, "_point_region_device", pr)
+        common = dict(
+            n_points=n, pr=pr,
             edges=jnp.asarray(edges), valid=jnp.asarray(edge_valid),
             caps=ds.caps, quantize=cfg.quantize_uint8,
             num_regions=num_regions, max_rounds=max_rounds,
+        )
+        if region_map is None:
+            return self._fused_segment(
+                self.params, self.batch_stats, ds.padded, *args, **common
+            )
+        return self._fused_segment_map(
+            self.params, self.batch_stats, ds.padded, *args,
+            region_map=jnp.asarray(region_map, jnp.int32), **common
         )

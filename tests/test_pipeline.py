@@ -142,6 +142,26 @@ def test_segment_scene_device_matches_two_step(tiny_model_cfg, tiny_data_cfg):
                                np.asarray(want_simi)[valid], rtol=1e-5)
     assert int(got_rounds) == int(want_rounds)
 
+    # with region_map: same program + the dense (H, W) merged label map,
+    # still one dispatch — must equal the two-step merged_label_map tail
+    from deepmerge_tpu.ops.labelprop import merged_label_map
+
+    want_map, want_k = merged_label_map(
+        want_labels, jnp.asarray(scene.labels, jnp.int32)
+    )
+    m_simi, m_labels, m_rounds, got_map, got_k = (
+        extractor.segment_scene_device(
+            scene, tiny_data_cfg, edges, valid,
+            num_regions=scene.regions.num_regions, max_rounds=8,
+            region_map=scene.labels,
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(m_labels),
+                                  np.asarray(want_labels))
+    np.testing.assert_array_equal(np.asarray(got_map), np.asarray(want_map))
+    assert int(got_k) == int(want_k)
+    assert int(m_rounds) == int(want_rounds)
+
 
 def test_chunk_cache_is_per_scene_not_per_address(tiny_model_cfg,
                                                   tiny_data_cfg):
