@@ -19,6 +19,106 @@ import time
 import numpy as np
 
 
+def serve_bench():
+    """BENCH_SERVE=K: folder-SERVING throughput over K scenes.
+
+    Unlike the headline (one pre-staged scene, device program only), this
+    measures what production serving pays per scene: TIFF decode +
+    shapefile parse (prefetch thread), pad + H2D tile staging (prefetch
+    thread, overlapped with device compute), extraction, edge scoring,
+    merge, ``simi`` write-back and the per-scene .h5 — the full
+    ``process_folder`` walk over the reference folder layout. The first
+    (warmup) walk compiles; the timed walk replays it on K fresh scenes.
+    """
+    import tempfile
+
+    from deepmerge_tpu.config import (
+        Config, DataConfig, MergeConfig, ModelConfig,
+    )
+    from deepmerge_tpu.geodata.ingest import export_scene
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.infer.driver import process_folder
+
+    K = int(os.environ["BENCH_SERVE"])
+    H = W = int(os.environ.get("BENCH_SCENE", 2048))
+    density = float(os.environ.get("BENCH_DENSITY", 8192 / 4.194304))
+    n_regions = max(int(density * H * W / 1e6), 16)
+    verbose = bool(os.environ.get("BENCH_VERBOSE"))
+
+    cfg = Config(
+        model=ModelConfig(
+            dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3"),
+        ),
+        data=DataConfig(max_window=512, eval_batch_size=int(
+            os.environ.get("BENCH_BATCH", 2048))),
+        merge=MergeConfig(engine="device"),
+    )
+
+    def export_folder(root, seeds):
+        images = os.path.join(root, "images")
+        shps = os.path.join(root, "shps")
+        os.makedirs(images, exist_ok=True)
+        stage = os.path.join(root, "stage")
+        for seed in seeds:
+            scene = generate_scene(
+                h=H, w=W, n_regions=n_regions, n_objects=256,
+                points_per_region=1, seed=seed, name=f"scene{seed}",
+            )
+            paths = export_scene(scene, stage, compression="deflate")
+            os.rename(paths["image"],
+                      os.path.join(images, f"{scene.name}.tif"))
+            os.makedirs(os.path.join(shps, scene.name), exist_ok=True)
+            for ext in (".shp", ".shx", ".dbf"):
+                os.rename(os.path.join(stage, f"{scene.name}{ext}"),
+                          os.path.join(shps, f"{scene.name}{ext}"))
+                for base in ("PointsGCS", "lines"):
+                    src = os.path.join(stage, scene.name, f"{base}{ext}")
+                    if os.path.exists(src):
+                        os.rename(src, os.path.join(
+                            shps, scene.name, f"{base}{ext}"))
+        return images, shps
+
+    log = (lambda *a: print("[bench]", *a, file=sys.stderr)) if verbose \
+        else (lambda *a: None)
+    with tempfile.TemporaryDirectory() as root:
+        images, shps = export_folder(root, list(range(1, K + 1)))
+        import warnings
+
+        from deepmerge_tpu.infer.driver import load_params
+        from deepmerge_tpu.infer.extract import FeatureExtractor
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # fresh params are the point here
+            # one warm extractor across both walks (its jit cache is
+            # per-instance); the warmup walk compiles every program for
+            # every scene's exact shapes, the timed walk replays them
+            # (write-backs are idempotent)
+            model, params, bs = load_params(cfg)
+            ex = FeatureExtractor(model, params, bs,
+                                  batch_size=cfg.data.eval_batch_size)
+            done = process_folder(cfg, images, shps, log_fn=log,
+                                  extractor=ex)
+            assert len(done) == K, f"warmup processed {len(done)}/{K}"
+            t0 = time.perf_counter()
+            done = process_folder(cfg, images, shps, log_fn=log,
+                                  extractor=ex)
+            dt = time.perf_counter() - t0
+        assert len(done) == K, f"walk processed {len(done)}/{K} scenes"
+
+    mpix = K * H * W / 1e6
+    baseline_per_chip = 50.0 / 8.0
+    if verbose:
+        print(f"[bench] serve: {K} scenes in {dt:.3f}s "
+              f"({dt / K:.3f}s/scene incl. ingest+staging+writeback)",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "folder_serving_throughput",
+        "value": round(mpix / dt, 4),
+        "unit": "megapixels/sec/chip",
+        "vs_baseline": round(mpix / dt / baseline_per_chip, 4),
+    }))
+
+
 def main():
     import jax
 
@@ -200,4 +300,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if int(os.environ.get("BENCH_SERVE", "0")) > 0:
+        serve_bench()
+    else:
+        main()

@@ -74,6 +74,7 @@ def process_scene(
     extractor: Optional[FeatureExtractor] = None,
     mesh=None,
     stream_tiles: Optional[int] = None,
+    device_scene=None,
 ) -> tuple[np.ndarray, np.ndarray, Optional[MergeResult]]:
     """Extract → score → (merge) one scene.
 
@@ -91,6 +92,11 @@ def process_scene(
     the device never holds the whole mosaic
     (``FeatureExtractor.extract_scene_streamed``); identical embeddings
     and partition, bounded HBM. Mutually exclusive with ``mesh``.
+    ``device_scene`` supplies an already-staged ``DeviceScene`` (see
+    ``train.sampler.stage_scene``) — the folder walk stages scene k+1 on
+    the prefetch thread while scene k computes, hiding the multi-MB H2D
+    tile upload behind device time. Ignored by the mesh and streamed
+    paths (each stages its own shards/strips).
     """
     if model is None:
         model, params, batch_stats = load_params(cfg)
@@ -102,12 +108,26 @@ def process_scene(
             mesh=mesh,
         )
     store = FeatureStore(h5_path) if h5_path else None
+    emb_dev = None  # device-resident embeddings, when the path keeps them
     try:
         with phase_timer(timings, "extract"):
             if stream_tiles is not None and stream_tiles > 1:
                 emb = extractor.extract_scene_streamed(
                     scene, cfg.data, n_strips=stream_tiles, store=store
                 )
+            elif mesh is None:
+                # extract on device and pull the matrix ONCE (store +
+                # return value); scoring and the device merge consume the
+                # device handle directly — otherwise the embeddings cross
+                # the host link three times (pull for the store, re-upload
+                # for scoring, re-upload for the merge), ~3MB each way per
+                # scene on the flagship config
+                emb_dev = extractor.extract_scene_device(
+                    scene, cfg.data, device_scene=device_scene
+                )
+                emb = np.asarray(emb_dev, np.float32)
+                if store is not None:
+                    store.append(emb)
             else:
                 emb = extractor.extract_scene(scene, cfg.data, store)
     finally:
@@ -115,7 +135,9 @@ def process_scene(
             store.close()
 
     with phase_timer(timings, "score"):
-        simi = score_scene_edges(scene, emb, cfg.merge.edge_batch)
+        simi = score_scene_edges(
+            scene, emb if emb_dev is None else emb_dev, cfg.merge.edge_batch
+        )
 
     if lines_path and os.path.exists(lines_path):
         from deepmerge_tpu.geodata.ingest import write_simi
@@ -149,7 +171,7 @@ def process_scene(
                 from deepmerge_tpu.infer.merge import merge_scene_device
 
                 result = merge_scene_device(
-                    scene, emb,
+                    scene, emb if emb_dev is None else emb_dev,
                     threshold=thr,
                     max_rounds=cfg.merge.max_rounds,
                 )
@@ -180,6 +202,7 @@ def process_folder(
     stream_tiles: Optional[int] = None,
     watch_seconds: Optional[float] = None,
     watch_iterations: Optional[int] = None,
+    extractor: Optional[FeatureExtractor] = None,
 ) -> list[str]:
     """Walk per-scene shapefile folders like the reference's multi-scene
     driver (``ExtractFeatures.py:241-303``): each subfolder holds
@@ -204,15 +227,20 @@ def process_folder(
     from concurrent.futures import ThreadPoolExecutor
 
     from deepmerge_tpu.geodata.ingest import load_scene
+    from deepmerge_tpu.train.sampler import stage_scene
 
     model, params, batch_stats = load_params(cfg, checkpoint_path)
     # ONE extractor for the whole walk: identically-shaped tiles (the
     # common mosaic case, ExtractFeatures.py:257-299) then hit the jit
-    # cache instead of recompiling per scene
-    extractor = FeatureExtractor(
-        model, params, batch_stats, batch_size=cfg.data.eval_batch_size,
-        mesh=mesh,
-    )
+    # cache instead of recompiling per scene. Callers that walk
+    # repeatedly (serving daemons restarting scans, benchmarks) can pass
+    # their own warm ``extractor`` to keep the cache across calls — its
+    # params then take precedence over ``checkpoint_path``.
+    if extractor is None:
+        extractor = FeatureExtractor(
+            model, params, batch_stats, batch_size=cfg.data.eval_batch_size,
+            mesh=mesh,
+        )
 
     def scan_jobs(skip):
         jobs = []
@@ -237,11 +265,17 @@ def process_folder(
 
     def walk(jobs):
         # One-deep prefetch: scene k+1's host ingestion (TIFF decode +
-        # shapefile parse) runs on a worker thread while scene k occupies
-        # the device — the GIL is free during device waits and inside the
-        # native/zlib codecs. A prefetch failure surfaces at .result()
-        # inside scene k+1's own try block, preserving per-scene fault
-        # isolation.
+        # shapefile parse) AND device staging (pad + H2D tile upload —
+        # multi-MB through a slow relay) run on a worker thread while
+        # scene k occupies the device; dispatches are async, so the
+        # upload rides behind scene k's compute. A prefetch failure
+        # surfaces at .result() inside scene k+1's own try block,
+        # preserving per-scene fault isolation. The mesh and streamed
+        # paths stage their own shards/strips, so prefetch staging is
+        # skipped there (streamed callers opted into bounded HBM — a
+        # prefetched whole-scene tile would defeat the budget).
+        prestage = mesh is None and (stream_tiles is None
+                                     or stream_tiles <= 1)
         with ThreadPoolExecutor(max_workers=1) as pool:
             def submit(j):
                 entry, image, polygons, pts, lines, _ = j
@@ -251,9 +285,13 @@ def process_folder(
                                               f"{entry}_labels.npy")
                     labels = (np.load(labels_npy)
                               if os.path.exists(labels_npy) else None)
-                    return load_scene(image, polygons, pts, lines,
-                                      name=entry, deep_pixels=deep_pixels,
-                                      labels=labels)
+                    scene = load_scene(image, polygons, pts, lines,
+                                       name=entry, deep_pixels=deep_pixels,
+                                       labels=labels)
+                    ds = (stage_scene(scene, cfg.data)
+                          if prestage and scene.regions.num_points
+                          else None)
+                    return scene, ds
 
                 return pool.submit(load)
 
@@ -263,14 +301,14 @@ def process_folder(
                     submit(jobs[i + 1]) if i + 1 < len(jobs) else None
                 )
                 try:
-                    scene = this_future.result()
+                    scene, ds = this_future.result()
                     log_fn(f"processing {entry} "
                            f"({scene.regions.num_points} points)")
                     _, _, result = process_scene(
                         cfg, scene, model, params, batch_stats,
                         h5_path=h5, lines_path=lines, log_fn=log_fn,
                         extractor=extractor, mesh=mesh,
-                        stream_tiles=stream_tiles,
+                        stream_tiles=stream_tiles, device_scene=ds,
                     )
                     if write_labelmaps and result is not None:
                         if os.path.exists(

@@ -90,6 +90,36 @@ def test_process_folder_walks_reference_layout(tmp_path):
         assert "simi" in lines.field_names()
         assert all(v is not None for v in lines.get_field("simi"))
 
+    # prefetch-thread staging parity: the walk staged each scene on the
+    # worker thread (device_scene handed to process_scene); a direct
+    # unstaged process_scene must score the same simi values
+    from deepmerge_tpu.geodata.ingest import load_scene
+    from deepmerge_tpu.infer.driver import load_params, process_scene
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+
+    scene1 = load_scene(str(images / "tile1.tif"), str(shps / "tile1.shp"),
+                        str(shps / "tile1" / "PointsGCS.shp"),
+                        str(shps / "tile1" / "lines.shp"), name="tile1")
+    model, params, bs = load_params(cfg)
+    _, simi_direct, _ = process_scene(cfg, scene1, model, params, bs,
+                                      log_fn=lambda *_: None)
+    walked = ShapefileTable.read(str(shps / "tile1" / "lines.shp"))
+    np.testing.assert_allclose(
+        np.asarray(walked.get_field("simi"), np.float64),
+        np.round(simi_direct.astype(np.float64), 6), atol=5e-7)
+
+    # caller-supplied warm extractor (serving daemons / BENCH_SERVE):
+    # a second walk reusing one extractor is idempotent and complete
+    ex = FeatureExtractor(model, params, bs,
+                          batch_size=cfg.data.eval_batch_size)
+    done2 = process_folder(cfg, str(images), str(shps),
+                           log_fn=lambda *_: None, extractor=ex)
+    assert done2 == ["tile1", "tile2"]
+    rewalked = ShapefileTable.read(str(shps / "tile1" / "lines.shp"))
+    np.testing.assert_allclose(
+        np.asarray(rewalked.get_field("simi"), np.float64),
+        np.asarray(walked.get_field("simi"), np.float64))
+
 
 def test_edge_pair_dataset_across_scenes(tmp_path):
     """Reference PolygonPointPairDataset semantics (MyUtils2.py:18-126):
