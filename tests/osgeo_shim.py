@@ -31,28 +31,84 @@ class FakeGeometry:
 class FakeFeature:
     """Duck-typed OGR feature: attribute fields + a point geometry."""
 
-    def __init__(self, fields: dict, x_geo: float, y_geo: float):
+    def __init__(self, fields: dict, x_geo: float = 0.0, y_geo: float = 0.0,
+                 fid: int = 0):
         self._fields = dict(fields)
         self._geom = FakeGeometry(x_geo, y_geo)
+        self._fid = int(fid)
 
     def GetField(self, name: str):
         return self._fields[name]
+
+    def SetField(self, name: str, value):
+        self._fields[name] = value
+
+    def GetFID(self):
+        return self._fid
 
     def GetGeometryRef(self):
         return self._geom
 
 
-class FakeLayer:
-    """OGR layer exposing ``GetFeature(fid)`` over a dict of FakeFeatures."""
+class FakeLayerDefn:
+    """OGR layer definition: field-index lookup for CreateField checks."""
 
-    def __init__(self, features: dict):
+    def __init__(self, layer: "FakeLayer"):
+        self._layer = layer
+
+    def GetFieldIndex(self, name: str):
+        return self._layer._field_names.index(name) \
+            if name in self._layer._field_names else -1
+
+
+class FakeLayer:
+    """OGR layer: ``GetFeature(fid)`` random access plus the streaming
+    ``ResetReading``/``GetNextFeature`` protocol and attribute write-back
+    (``SetFeature``), as consumed by the reference's datasets and
+    ``test_for_shp`` (``MyUtils2.py:177-193``, ``ExtractFeatures.py:
+    182-186,216-219``)."""
+
+    def __init__(self, features: dict, field_names=()):
         self._features = dict(features)
+        self._order = sorted(self._features)
+        self._cursor = 0
+        self._field_names = list(field_names)
 
     def GetFeature(self, fid):
         return self._features[int(fid)]
 
     def GetFeatureCount(self):
         return len(self._features)
+
+    def ResetReading(self):
+        self._cursor = 0
+
+    def GetNextFeature(self):
+        if self._cursor >= len(self._order):
+            return None
+        f = self._features[self._order[self._cursor]]
+        self._cursor += 1
+        return f
+
+    def GetLayerDefn(self):
+        return FakeLayerDefn(self)
+
+    def CreateField(self, field_defn, approx_ok=0):
+        if field_defn.name not in self._field_names:
+            self._field_names.append(field_defn.name)
+
+    def SetFeature(self, feature):
+        self._features[feature.GetFID()] = feature
+
+
+class FakeVectorDataSource:
+    """OGR datasource wrapping one FakeLayer (``GetLayer(0)``)."""
+
+    def __init__(self, layer: FakeLayer):
+        self._layer = layer
+
+    def GetLayer(self, index=0):
+        return self._layer
 
 
 class FakeRasterDataset:
@@ -93,11 +149,24 @@ class FakeRasterDataset:
 
 
 _REGISTRY: dict[str, FakeRasterDataset] = {}
+_VECTOR_REGISTRY: dict[str, FakeLayer] = {}
 
 
 def register_raster(path: str, ds: FakeRasterDataset) -> None:
     """Make ``gdal.Open(path)`` return ``ds``."""
     _REGISTRY[path] = ds
+
+
+def register_vector(path: str, layer: FakeLayer) -> None:
+    """Make ``ogr.GetDriverByName(...).Open(path, mode)`` return a
+    datasource whose ``GetLayer(0)`` is ``layer``."""
+    _VECTOR_REGISTRY[path] = layer
+
+
+class _FieldDefn:
+    def __init__(self, name: str, field_type=None):
+        self.name = name
+        self.type = field_type
 
 
 def install() -> None:
@@ -117,12 +186,15 @@ def install() -> None:
 
     class _Driver:
         def Open(self, path, mode=0):
-            return None
+            layer = _VECTOR_REGISTRY.get(path)
+            return None if layer is None else FakeVectorDataSource(layer)
 
     def GetDriverByName(name):
         return _Driver()
 
     ogr.GetDriverByName = GetDriverByName
+    ogr.FieldDefn = _FieldDefn
+    ogr.OFTReal = 2  # OGR's real-field enum value
 
     osgeo = types.ModuleType("osgeo")
     osgeo.gdal = gdal
