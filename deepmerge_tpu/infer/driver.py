@@ -75,6 +75,7 @@ def process_scene(
     mesh=None,
     stream_tiles: Optional[int] = None,
     device_scene=None,
+    fused: Optional[bool] = None,
 ) -> tuple[np.ndarray, np.ndarray, Optional[MergeResult]]:
     """Extract → score → (merge) one scene.
 
@@ -97,6 +98,8 @@ def process_scene(
     the prefetch thread while scene k computes, hiding the multi-MB H2D
     tile upload behind device time. Ignored by the mesh and streamed
     paths (each stages its own shards/strips).
+    ``fused`` forces the single-dispatch serving path on/off (None = auto:
+    on for single-device device-engine merges).
     """
     if model is None:
         model, params, batch_stats = load_params(cfg)
@@ -109,6 +112,66 @@ def process_scene(
         )
     store = FeatureStore(h5_path) if h5_path else None
     emb_dev = None  # device-resident embeddings, when the path keeps them
+
+    # serving fast path: the ENTIRE scene — extraction chunks, pooling,
+    # edge scoring, threshold, merge rounds — as ONE dispatch with ONE
+    # host sync (segment_scene_device with_embeddings; the split phases
+    # below pay 4-6 extra relay round-trips, ~0.2-0.3 s/scene measured)
+    if fused is None:
+        fused = True
+    fused = (
+        fused
+        and mesh is None
+        and (stream_tiles is None or stream_tiles <= 1)
+        and do_merge
+        and cfg.merge.engine == "device"
+        and scene.regions.num_points > 0
+    )
+    if fused:
+        from deepmerge_tpu.infer.merge import labels_to_result
+
+        edge_batch = max(cfg.merge.edge_batch, 1)
+        edges = np.asarray(scene.rag.edges, np.int32)
+        # pad to an edge_batch multiple: same-bucket scenes share the
+        # compiled program across a folder walk
+        pad = (-len(edges)) % edge_batch if len(edges) else edge_batch
+        valid = np.ones(len(edges), bool)
+        if pad:
+            edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        q = cfg.merge.threshold_quantile
+        with phase_timer(timings, "segment"):
+            simi_p, labels, rounds, emb_dev = extractor.segment_scene_device(
+                scene, cfg.data, edges, valid,
+                num_regions=scene.regions.num_regions,
+                max_rounds=cfg.merge.max_rounds,
+                device_scene=device_scene,
+                threshold=None if q is not None else cfg.merge.threshold,
+                threshold_quantile=q if q is not None else 0.5,
+                with_embeddings=True,
+            )
+            emb = np.asarray(emb_dev, np.float32)
+            simi = np.asarray(simi_p, np.float32)[: scene.rag.num_edges]
+            rounds = int(rounds)
+        scene.rag.simi = simi
+        if store is not None:
+            store.append(emb)
+            store.close()
+        if lines_path and os.path.exists(lines_path):
+            from deepmerge_tpu.geodata.ingest import write_simi
+
+            write_simi(lines_path, simi)
+        sweeps_run = min(rounds + 1, cfg.merge.max_rounds)
+        result = labels_to_result(
+            labels, rounds, edges_scored=sweeps_run * scene.rag.num_edges
+        )
+        log_fn(
+            f"{scene.name}: {scene.regions.num_regions} regions -> "
+            f"{result.num_clusters} objects in {result.rounds} rounds "
+            f"({timings.summary()})"
+        )
+        return emb, simi, result
+
     try:
         with phase_timer(timings, "extract"):
             if stream_tiles is not None and stream_tiles > 1:

@@ -203,24 +203,33 @@ class FeatureExtractor:
 
             # the ENTIRE inference pipeline as one program: extraction
             # chunks + region pooling + edge scoring + threshold + merge
-            # rounds (ops/labelprop.device_score_and_merge inlines here)
+            # rounds (ops/labelprop.device_score_and_merge inlines here).
+            # ``threshold`` (absolute, traced) overrides the quantile;
+            # ``with_emb`` additionally returns the (P, D) embeddings (for
+            # callers that persist them, e.g. the serving driver's h5)
             def fused_segment(params, batch_stats, padded, centers, scales,
                               factors, feats, n_points, pr, edges, valid,
-                              caps, quantize, num_regions, max_rounds):
+                              threshold, tq, caps, quantize, num_regions,
+                              max_rounds, with_emb=False):
                 from deepmerge_tpu.ops.labelprop import device_score_and_merge
 
                 emb = fused_all(params, batch_stats, padded, centers, scales,
                                 factors, feats, caps, quantize)
                 emb = emb.reshape(-1, emb.shape[-1])[:n_points]
-                return device_score_and_merge(
-                    emb.astype(jnp.float32), pr, edges, valid,
+                emb = emb.astype(jnp.float32)
+                simi, labels, rounds = device_score_and_merge(
+                    emb, pr, edges, valid,
                     num_regions=num_regions, max_rounds=max_rounds,
+                    threshold=threshold, threshold_quantile=tq,
                 )
+                if with_emb:
+                    return simi, labels, rounds, emb
+                return simi, labels, rounds
 
             self._fused_segment = jax.jit(
                 fused_segment,
                 static_argnames=("caps", "quantize", "n_points",
-                                 "num_regions", "max_rounds"),
+                                 "num_regions", "max_rounds", "with_emb"),
             )
 
             # same program + the dense (H, W) merged label map: one
@@ -229,22 +238,24 @@ class FeatureExtractor:
             # merge and the labelmap — ~30ms/scene on relayed platforms)
             def fused_segment_map(params, batch_stats, padded, centers,
                                   scales, factors, feats, n_points, pr,
-                                  edges, valid, region_map, caps, quantize,
-                                  num_regions, max_rounds):
+                                  edges, valid, threshold, tq, region_map,
+                                  caps, quantize, num_regions, max_rounds,
+                                  with_emb=False):
                 from deepmerge_tpu.ops.labelprop import merged_label_map
 
-                simi, labels, rounds = fused_segment(
+                out = fused_segment(
                     params, batch_stats, padded, centers, scales, factors,
-                    feats, n_points, pr, edges, valid, caps, quantize,
-                    num_regions, max_rounds,
+                    feats, n_points, pr, edges, valid, threshold, tq, caps,
+                    quantize, num_regions, max_rounds, with_emb,
                 )
+                simi, labels, rounds = out[:3]
                 label_map, n_clusters = merged_label_map(labels, region_map)
-                return simi, labels, rounds, label_map, n_clusters
+                return (simi, labels, rounds, label_map, n_clusters) + out[3:]
 
             self._fused_segment_map = jax.jit(
                 fused_segment_map,
                 static_argnames=("caps", "quantize", "n_points",
-                                 "num_regions", "max_rounds"),
+                                 "num_regions", "max_rounds", "with_emb"),
             )
         else:
             # multi-chip extraction: replicate params + scene, split the
@@ -521,6 +532,9 @@ class FeatureExtractor:
         max_rounds: int = 16,
         device_scene: Optional[DeviceScene] = None,
         region_map=None,
+        threshold=None,
+        threshold_quantile: float = 0.5,
+        with_embeddings: bool = False,
     ):
         """Extract + pool + score + merge a scene in ONE dispatch.
 
@@ -535,6 +549,13 @@ class FeatureExtractor:
         (``ops/labelprop.merged_label_map``) and returns
         ``(simi, labels, rounds, label_map, n_clusters)`` — still ONE
         dispatch and one host sync for the whole scene.
+
+        ``threshold``: absolute merge threshold (traced scalar — sweeps
+        reuse the program); None thresholds at ``threshold_quantile`` of
+        the valid edge distances in-program (also traced; the 0.5 default
+        is a NON-reference semantic, see ``device_score_and_merge``).
+        ``with_embeddings``: additionally return the (P, D) float32
+        embeddings (appended to the tuple) for callers that persist them.
         """
         if self.mesh is not None:
             raise ValueError("segment_scene_device is single-device only")
@@ -549,8 +570,10 @@ class FeatureExtractor:
         common = dict(
             n_points=n, pr=pr,
             edges=jnp.asarray(edges), valid=jnp.asarray(edge_valid),
+            threshold=threshold, tq=jnp.float32(threshold_quantile),
             caps=ds.caps, quantize=cfg.quantize_uint8,
             num_regions=num_regions, max_rounds=max_rounds,
+            with_emb=with_embeddings,
         )
         if region_map is None:
             return self._fused_segment(

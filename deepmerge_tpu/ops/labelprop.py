@@ -74,11 +74,14 @@ def device_score_and_merge(
     max_rounds: int = 16,
     sweeps: int = 16,
     threshold_quantile: float = 0.5,
+    threshold=None,
 ):
     """ONE dispatch for the whole scoring+merge tail of the pipeline:
 
     initial region pooling → edge distances (the ``simi`` attribute) →
-    threshold = quantile of valid distances → iterative device merge.
+    threshold = quantile of valid distances (or the absolute traced
+    ``threshold`` when given, e.g. a calibrated one) → iterative device
+    merge.
 
     NB the quantile threshold is NOT a reference semantic — the reference
     stops at scored edges (``ExtractFeatures.py:150-225``) and never
@@ -95,13 +98,18 @@ def device_score_and_merge(
     pr = point_region.astype(jnp.int32)
     remb = segment_mean(emb, pr, num_regions)
     simi = edge_distances(remb, edges, edge_valid)  # padded rows score +inf
-    valid_sorted = jnp.sort(simi)
-    n_valid = jnp.sum(edge_valid)
-    q_idx = jnp.clip(
-        (threshold_quantile * (n_valid - 1)).astype(jnp.int32), 0,
-        simi.shape[0] - 1,
-    )
-    threshold = valid_sorted[q_idx]
+    if threshold is None:
+        valid_sorted = jnp.sort(simi)
+        n_valid = jnp.sum(edge_valid)
+        q_idx = jnp.clip(
+            (threshold_quantile * (n_valid - 1)).astype(jnp.int32), 0,
+            simi.shape[0] - 1,
+        )
+        threshold = valid_sorted[q_idx]
+    else:
+        # absolute (e.g. calibrated — infer/calibrate.py) threshold; rides
+        # as a TRACED scalar so sweeps reuse the compiled program
+        threshold = jnp.asarray(threshold, jnp.float32)
     labels, rounds = device_merge(
         emb, pr, edges, edge_valid, threshold,
         num_regions=num_regions, max_rounds=max_rounds, sweeps=sweeps,

@@ -348,3 +348,39 @@ def test_streamed_extraction_mesh_exclusive(tiny_model_cfg, tiny_data_cfg,
     ex = FeatureExtractor(model, params, batch_size=16, mesh=mesh)
     with pytest.raises(ValueError, match="single-device"):
         ex.extract_scene_streamed(small_scene, tiny_data_cfg, n_strips=2)
+
+
+def test_process_scene_fused_matches_split_path(tiny_model_cfg,
+                                                tiny_data_cfg, tmp_path):
+    """The single-dispatch serving path (process_scene fused=True:
+    segment_scene_device with embeddings) must reproduce the split
+    extract→score→merge path exactly — embeddings, simi, partition and the
+    h5 store — for both the absolute and the quantile threshold configs."""
+    import dataclasses
+
+    from deepmerge_tpu.config import MergeConfig
+    from deepmerge_tpu.infer.driver import process_scene
+    from deepmerge_tpu.models.s2former import init_params
+
+    scene = generate_scene(h=128, w=192, n_regions=28, n_objects=5, seed=33)
+    model = build_model(tiny_model_cfg)
+    params = init_params(model, jax.random.key(0))["params"]
+
+    for mc in (MergeConfig(engine="device", threshold=1.0),
+               MergeConfig(engine="device", threshold_quantile=0.4)):
+        cfg = Config(model=tiny_model_cfg, data=tiny_data_cfg, merge=mc)
+        h5a = str(tmp_path / f"a_{mc.threshold_quantile}.h5")
+        h5b = str(tmp_path / f"b_{mc.threshold_quantile}.h5")
+        emb1, simi1, res1 = process_scene(
+            cfg, scene, model, params, None, h5_path=h5a,
+            log_fn=lambda *_: None, fused=False)
+        emb2, simi2, res2 = process_scene(
+            cfg, scene, model, params, None, h5_path=h5b,
+            log_fn=lambda *_: None, fused=True)
+        np.testing.assert_array_equal(emb2, emb1)
+        np.testing.assert_allclose(simi2, simi1, atol=1e-6)
+        np.testing.assert_array_equal(res2.region_to_cluster,
+                                      res1.region_to_cluster)
+        assert res2.rounds == res1.rounds
+        np.testing.assert_array_equal(FeatureStore.open(h5b),
+                                      FeatureStore.open(h5a))
