@@ -322,17 +322,41 @@ class EdgePairDataset:
 
 def write_simi(lines_path: str, simi: np.ndarray) -> None:
     """Write scored distances into lines.shp's ``simi`` real field
-    (``ExtractFeatures.py:182-186,216-219``)."""
-    lines = ShapefileTable.read(lines_path)
-    lines.add_field(DbfField("simi", "F", 19, 6))
+    (``ExtractFeatures.py:182-186,216-219``).
+
+    OGR ``SetField`` semantics: ONLY the .dbf column is written — geometry
+    (.shp/.shx), every other attribute byte and any deletion flags are
+    untouched (``shapefile.update_dbf_field``). This is also the serving
+    hot path: a full table read+rewrite cost ~0.75 s per 24k-edge scene.
+    Valid edges (both FIDs ≥ 0) get ``simi[k]`` in order; invalid rows get
+    0; deletion-flagged rows get blanks.
+    """
+    from deepmerge_tpu.geodata.shapefile import read_dbf_columns, update_dbf_field
+
+    dbf = os.path.splitext(lines_path)[0] + ".dbf"
+    cols, deleted = read_dbf_columns(dbf, ["LEFT_FID", "RIGHT_FID"])
+    lf, rf = cols["LEFT_FID"], cols["RIGHT_FID"]
+    values: list = []
     k = 0
-    lf = lines.get_field("LEFT_FID")
-    rf = lines.get_field("RIGHT_FID")
-    for i in range(len(lines)):
-        if lf[i] is not None and rf[i] is not None and int(lf[i]) >= 0 and int(rf[i]) >= 0:
-            lines.set_field(i, "simi", float(simi[k]))
+    for i in range(len(lf)):
+        if deleted[i]:
+            values.append(None)
+        elif (lf[i] is not None and rf[i] is not None
+              and int(lf[i]) >= 0 and int(rf[i]) >= 0):
+            if k >= len(simi):
+                raise ValueError(
+                    f"{lines_path}: more valid edges than the "
+                    f"{len(simi)} scores provided"
+                )
+            values.append(float(simi[k]))
             k += 1
-    lines.save(lines_path)
+        else:
+            values.append(0)
+    if k != len(simi):
+        raise ValueError(
+            f"{lines_path}: {len(simi)} scores for {k} valid edges"
+        )
+    update_dbf_field(dbf, DbfField("simi", "F", 19, 6), values)
 
 
 def export_scene(

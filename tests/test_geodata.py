@@ -767,3 +767,60 @@ def test_geotiff_predictor3_rejected(tmp_path, rng):
     p.write_bytes(raw)
     with pytest.raises(NotImplementedError):
         read_geotiff(str(p))
+
+
+def test_write_simi_dbf_only_update(tmp_path):
+    """write_simi must behave like OGR SetField: the .shp/.shx bytes are
+    untouched, deletion-flagged rows keep their flag (and get blank simi),
+    invalid edges (FID -1) get 0, and a repeat write patches in place."""
+    import struct
+
+    from deepmerge_tpu.geodata.ingest import write_simi
+    from deepmerge_tpu.geodata.shapefile import (
+        DbfField, Shape, ShapefileTable, read_dbf_columns, update_dbf_field,
+    )
+
+    shapes = [Shape(3, np.array([[float(i), 0.0], [float(i), 1.0]]))
+              for i in range(4)]
+    t = ShapefileTable(
+        3, shapes,
+        [DbfField("LEFT_FID", "N", 10), DbfField("RIGHT_FID", "N", 10)],
+        [{"LEFT_FID": 0, "RIGHT_FID": 1},
+         {"LEFT_FID": -1, "RIGHT_FID": 2},   # invalid edge -> simi 0
+         {"LEFT_FID": 1, "RIGHT_FID": 2},    # deleted below -> blank
+         {"LEFT_FID": 2, "RIGHT_FID": 3}],
+    )
+    shp = tmp_path / "lines.shp"
+    t.save(str(shp))
+    dbf = tmp_path / "lines.dbf"
+    raw = bytearray(dbf.read_bytes())
+    header_size, record_size = struct.unpack("<HH", raw[8:12])
+    raw[header_size + 2 * record_size] = ord("*")  # flag record 2 deleted
+    dbf.write_bytes(bytes(raw))
+    shp_before = shp.read_bytes()
+    shx_before = (tmp_path / "lines.shx").read_bytes()
+
+    # valid, non-deleted edges in order: records 0 and 3
+    write_simi(str(shp), np.array([0.25, 0.75], np.float32))
+    assert shp.read_bytes() == shp_before
+    assert (tmp_path / "lines.shx").read_bytes() == shx_before
+    cols, deleted = read_dbf_columns(str(dbf),
+                                     ["LEFT_FID", "RIGHT_FID", "simi"])
+    assert deleted == [False, False, True, False]
+    assert cols["simi"] == [0.25, 0.0, None, 0.75]
+    assert cols["LEFT_FID"] == [0, -1, 1, 2]  # other columns verbatim
+
+    # repeat write = in-place column patch (no field duplication)
+    write_simi(str(shp), np.array([0.5, 1.5], np.float32))
+    cols2, _ = read_dbf_columns(str(dbf), ["simi"])
+    assert cols2["simi"] == [0.5, 0.0, None, 1.5]
+    t2 = ShapefileTable.read(str(shp))
+    assert [f.name for f in t2.fields].count("simi") == 1
+    assert len(t2) == 3  # deleted record still dropped by the Table read
+
+    # score-count mismatch is loud
+    with pytest.raises(ValueError):
+        write_simi(str(shp), np.array([0.5], np.float32))
+    # existing field with a different length is loud, not corrupting
+    with pytest.raises(ValueError):
+        update_dbf_field(str(dbf), DbfField("simi", "F", 12, 6), [None] * 4)
