@@ -119,6 +119,71 @@ def serve_bench():
     }))
 
 
+def train_bench():
+    """BENCH_TRAIN=K: training throughput (pairs/s) over K scanned epochs.
+
+    The production trainer at the reference schedule shape (1024² scene,
+    batch 120 pairs, ``Train_SMT.py:374-388`` flagship config): whole-epoch
+    lax.scan — window gather + resize + Siamese fwd/bwd (saved-probs
+    attention backward) + Adam — as one device program per epoch.
+    ``vs_baseline`` is the ratio to round 1's 607 pairs/s on this same
+    chip (9.1 s/epoch × 46 steps × 120 pairs — the scanned-epoch
+    wall-clock, the only DCE-proof round-1 number; the reference itself
+    publishes no training numbers, BASELINE.md).
+    """
+    import jax
+
+    from deepmerge_tpu.config import Config, DataConfig, ModelConfig
+    from deepmerge_tpu.geodata.synthetic import generate_scene, make_training_pairs
+    from deepmerge_tpu.models.s2former import build_model
+    from deepmerge_tpu.train.loop import create_train_state, make_scanned_epoch
+    from deepmerge_tpu.train.sampler import FusedPairSampler
+
+    epochs = int(os.environ["BENCH_TRAIN"])
+    cfg = Config(
+        model=ModelConfig(dtype="bfloat16",
+                          variant=os.environ.get("BENCH_MODEL", "v3")),
+        data=DataConfig(max_window=512, batch_size=int(
+            os.environ.get("BENCH_BATCH", 120))),
+    )
+    verbose = bool(os.environ.get("BENCH_VERBOSE"))
+    scene = generate_scene(h=1024, w=1024, n_regions=2048, n_objects=64,
+                           points_per_region=3, seed=0)
+    pos, neg = make_training_pairs(scene)
+    sampler = FusedPairSampler(scene, pos, neg, cfg.data)
+    model = build_model(cfg.model)
+    steps = max(len(sampler) // cfg.data.batch_size, 1)
+    state = create_train_state(model, cfg, jax.random.key(0), steps)
+    epoch_fn = make_scanned_epoch(model, cfg, sampler.device_scene)
+    rng = jax.random.key(1)
+
+    def run_epoch(state, seed):
+        arrays = sampler.epoch_arrays(seed, cfg.data.batch_size)
+        state, losses = epoch_fn(state, *arrays, rng)
+        # scalar pull is the only true sync on relayed platforms
+        float(jax.numpy.asarray(losses).sum())
+        return state, arrays[0].shape[0]
+
+    state, n_steps = run_epoch(state, 0)  # warmup / compile
+    t0 = time.perf_counter()
+    total_pairs = 0
+    for e in range(1, epochs + 1):
+        state, n_steps = run_epoch(state, e)
+        total_pairs += n_steps * cfg.data.batch_size
+    dt = time.perf_counter() - t0
+    if verbose:
+        print(f"[bench] train: {epochs} epochs x {n_steps} steps "
+              f"(batch {cfg.data.batch_size}) in {dt:.3f}s = "
+              f"{dt / epochs:.3f}s/epoch, "
+              f"{dt / epochs / n_steps * 1000:.1f}ms/step", file=sys.stderr)
+    print(json.dumps({
+        "metric": "training_throughput",
+        "value": round(total_pairs / dt, 1),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(total_pairs / dt / 607.0, 4),
+    }))
+
+
 def main():
     import jax
 
@@ -302,5 +367,7 @@ def main():
 if __name__ == "__main__":
     if int(os.environ.get("BENCH_SERVE", "0")) > 0:
         serve_bench()
+    elif int(os.environ.get("BENCH_TRAIN", "0")) > 0:
+        train_bench()
     else:
         main()

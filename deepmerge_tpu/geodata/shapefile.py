@@ -418,10 +418,6 @@ def update_dbf_field(path: str, fld: DbfField, values: list) -> None:
             existing = (col, f_)
             break
         col += f_.length
-    payload = [
-        b" " * fld.length if v is None else _format_value(fld, v)
-        for v in values
-    ]
     if existing is not None:
         col_off, f_ = existing
         if f_.length != fld.length:
@@ -429,6 +425,11 @@ def update_dbf_field(path: str, fld: DbfField, values: list) -> None:
                 f"{path}: field {fld.name} exists with length "
                 f"{f_.length} != {fld.length}"
             )
+        # format with the FILE's declared spec (decimals may differ)
+        payload = [
+            b" " * f_.length if v is None else _format_value(f_, v)
+            for v in values
+        ]
         base = header_size
         for rec in payload:
             data[base + col_off : base + col_off + fld.length] = rec
@@ -437,6 +438,10 @@ def update_dbf_field(path: str, fld: DbfField, values: list) -> None:
             f.write(data)
         return
     # append the field: splice the new descriptor + per-record column bytes
+    payload = [
+        b" " * fld.length if v is None else _format_value(fld, v)
+        for v in values
+    ]
     descr = struct.pack(
         "<11sc4xBB14x", fld.name.encode("ascii")[:11],
         fld.type.encode("ascii"), fld.length, fld.decimals,

@@ -242,8 +242,10 @@ def probe_train(pairs=120):
         def fwdbwd(i, params, p0, p1, p2, designed):
             l, g = jax.value_and_grad(f)(params, p0 + i.astype(p0.dtype),
                                          p1, p2, designed)
-            leaves = jax.tree.leaves(g)
-            return l + sum(jnp.abs(x).sum() for x in leaves[:2])
+            # reduce EVERY grad leaf: reducing only a couple lets XLA
+            # dead-code-eliminate most dW GEMMs (~33 ms at batch 120 —
+            # the round-3 "106 ms fwd+bwd" artifact, BENCH.md correction)
+            return l + sum(jnp.abs(x).sum() for x in jax.tree.leaves(g))
 
         ms_f = rep_probe(fwd, params, *patches, designed, k=8)
         ms_fb = rep_probe(fwdbwd, params, *patches, designed, k=4)
