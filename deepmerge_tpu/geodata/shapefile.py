@@ -266,9 +266,12 @@ def _parse_dbf_column(fld: DbfField, txt: np.ndarray) -> list:
                 np.char.find(np.char.lower(txt), "e") >= 0
             )
         num = np.where(blank, "0", txt).astype(np.float64)
+        # ints parse from the TEXT: a 16+-digit dBase N column would lose
+        # precision through the float64 fast path
         return [
-            None if b else (float(x) if f else int(x))
-            for b, f, x in zip(blank.tolist(), floaty.tolist(), num.tolist())
+            None if b else (float(x) if f else int(t))
+            for b, f, x, t in zip(blank.tolist(), floaty.tolist(),
+                                  num.tolist(), txt.tolist())
         ]
     if fld.type == "L":
         return np.isin(np.char.upper(txt), ("T", "Y")).tolist()

@@ -824,3 +824,21 @@ def test_write_simi_dbf_only_update(tmp_path):
     # existing field with a different length is loud, not corrupting
     with pytest.raises(ValueError):
         update_dbf_field(str(dbf), DbfField("simi", "F", 12, 6), [None] * 4)
+
+
+def test_dbf_bigint_column_exact(tmp_path):
+    """N columns up to 19 digits must round-trip exactly: the vectorized
+    cell parser takes the float64 fast path only for float-typed cells —
+    2**53+1 would silently round through it."""
+    from deepmerge_tpu.geodata.shapefile import (
+        DbfField, _read_dbf_full, _write_dbf,
+    )
+
+    big = 9007199254740993  # 2**53 + 1
+    p = str(tmp_path / "t.dbf")
+    _write_dbf(p, [DbfField("id", "N", 19)],
+               [{"id": big}, {"id": None}, {"id": 7}])
+    _, recs, _ = _read_dbf_full(p)
+    assert recs[0]["id"] == big and isinstance(recs[0]["id"], int)
+    assert recs[1]["id"] is None
+    assert recs[2]["id"] == 7
