@@ -76,6 +76,7 @@ def process_scene(
     stream_tiles: Optional[int] = None,
     device_scene=None,
     fused: Optional[bool] = None,
+    finalize_executor=None,
 ) -> tuple[np.ndarray, np.ndarray, Optional[MergeResult]]:
     """Extract → score → (merge) one scene.
 
@@ -100,6 +101,13 @@ def process_scene(
     paths (each stages its own shards/strips).
     ``fused`` forces the single-dispatch serving path on/off (None = auto:
     on for single-device device-engine merges).
+    ``finalize_executor``: an Executor with ONE worker. When given, the
+    host tail of the scene — the multi-MB embedding pull through the slow
+    relay, the .h5 write, the ``simi`` write-back — runs on that executor
+    and the call returns a ``concurrent.futures.Future`` resolving to the
+    usual ``(emb, simi, result)`` tuple instead of the tuple itself. The
+    folder walk uses this so scene k's host finalize overlaps scene k+1's
+    device compute (dispatch is async; only the pulls block).
     """
     if model is None:
         model, params, batch_stats = load_params(cfg)
@@ -140,37 +148,45 @@ def process_scene(
             edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
             valid = np.concatenate([valid, np.zeros(pad, bool)])
         q = cfg.merge.threshold_quantile
-        with phase_timer(timings, "segment"):
-            simi_p, labels, rounds, emb_dev = extractor.segment_scene_device(
-                scene, cfg.data, edges, valid,
-                num_regions=scene.regions.num_regions,
-                max_rounds=cfg.merge.max_rounds,
-                device_scene=device_scene,
-                threshold=None if q is not None else cfg.merge.threshold,
-                threshold_quantile=q if q is not None else 0.5,
-                with_embeddings=True,
-            )
-            emb = np.asarray(emb_dev, np.float32)
-            simi = np.asarray(simi_p, np.float32)[: scene.rag.num_edges]
-            rounds = int(rounds)
-        scene.rag.simi = simi
-        if store is not None:
-            store.append(emb)
-            store.close()
-        if lines_path and os.path.exists(lines_path):
-            from deepmerge_tpu.geodata.ingest import write_simi
+        # dispatch only — async under jit; the pulls below block
+        simi_p, labels_d, rounds_d, emb_dev = extractor.segment_scene_device(
+            scene, cfg.data, edges, valid,
+            num_regions=scene.regions.num_regions,
+            max_rounds=cfg.merge.max_rounds,
+            device_scene=device_scene,
+            threshold=None if q is not None else cfg.merge.threshold,
+            threshold_quantile=q if q is not None else 0.5,
+            with_embeddings=True,
+        )
 
-            write_simi(lines_path, simi)
-        sweeps_run = min(rounds + 1, cfg.merge.max_rounds)
-        result = labels_to_result(
-            labels, rounds, edges_scored=sweeps_run * scene.rag.num_edges
-        )
-        log_fn(
-            f"{scene.name}: {scene.regions.num_regions} regions -> "
-            f"{result.num_clusters} objects in {result.rounds} rounds "
-            f"({timings.summary()})"
-        )
-        return emb, simi, result
+        def finalize():
+            with phase_timer(timings, "segment"):
+                emb = np.asarray(emb_dev, np.float32)
+                simi = np.asarray(simi_p, np.float32)[: scene.rag.num_edges]
+                rounds = int(rounds_d)
+            scene.rag.simi = simi
+            if store is not None:
+                store.append(emb)
+                store.close()
+            if lines_path and os.path.exists(lines_path):
+                from deepmerge_tpu.geodata.ingest import write_simi
+
+                write_simi(lines_path, simi)
+            sweeps_run = min(rounds + 1, cfg.merge.max_rounds)
+            result = labels_to_result(
+                labels_d, rounds,
+                edges_scored=sweeps_run * scene.rag.num_edges,
+            )
+            log_fn(
+                f"{scene.name}: {scene.regions.num_regions} regions -> "
+                f"{result.num_clusters} objects in {result.rounds} rounds "
+                f"({timings.summary()})"
+            )
+            return emb, simi, result
+
+        if finalize_executor is not None:
+            return finalize_executor.submit(finalize)
+        return finalize()
 
     try:
         with phase_timer(timings, "extract"):
@@ -250,6 +266,14 @@ def process_scene(
             f"{result.num_clusters} objects in {result.rounds} rounds "
             f"({timings.summary()})"
         )
+    if finalize_executor is not None:
+        # non-fused paths finalize inline; hand back a resolved Future so
+        # callers handle both paths uniformly
+        from concurrent.futures import Future
+
+        f: Future = Future()
+        f.set_result((emb, simi, result))
+        return f
     return emb, simi, result
 
 
@@ -339,7 +363,49 @@ def process_folder(
         # prefetched whole-scene tile would defeat the budget).
         prestage = mesh is None and (stream_tiles is None
                                      or stream_tiles <= 1)
-        with ThreadPoolExecutor(max_workers=1) as pool:
+
+        def finish(entry, h5, scene, fut):
+            # resolve scene k's finalize future (embedding pull, .h5,
+            # simi write-back — running on the finalize thread) AFTER
+            # scene k+1's program has been dispatched, so the host tail
+            # overlaps device compute. Per-scene fault isolation holds:
+            # a failure surfaces here, attributed to its own scene.
+            try:
+                _, _, result = fut.result()
+                if write_labelmaps and result is not None:
+                    if os.path.exists(
+                        os.path.join(shp_folder, f"{entry}_labels.npy")
+                    ):
+                        from deepmerge_tpu.infer.merge import (
+                            write_label_geotiff,
+                        )
+
+                        out_tif = os.path.join(
+                            shp_folder, entry,
+                            f"{cfg.model.name}_merged.tif"
+                        )
+                        write_label_geotiff(
+                            out_tif, result.label_map(scene),
+                            scene.meta.get("geotransform"),
+                        )
+                        log_fn(f"  merged label map -> {out_tif}")
+                    else:
+                        log_fn(
+                            f"  no {entry}_labels.npy superpixel "
+                            "sidecar — skipping label-map export"
+                        )
+                done.append(entry)
+            except Exception as e:  # a bad scene must not kill the walk
+                failed.append((entry, str(e)))
+                log_fn(f"FAILED {entry}: {e}")
+                try:  # don't leave a truncated file looking complete
+                    if os.path.exists(h5):
+                        os.remove(h5)
+                except OSError:
+                    pass
+
+        with ThreadPoolExecutor(max_workers=1) as pool, \
+                ThreadPoolExecutor(max_workers=1) as fin_pool:
             def submit(j):
                 entry, image, polygons, pts, lines, _ = j
 
@@ -359,6 +425,7 @@ def process_folder(
                 return pool.submit(load)
 
             future = submit(jobs[0]) if jobs else None
+            pending = None  # (entry, h5, scene, finalize-future)
             for i, (entry, image, polygons, points, lines, h5) in enumerate(jobs):
                 this_future, future = future, (
                     submit(jobs[i + 1]) if i + 1 < len(jobs) else None
@@ -367,43 +434,27 @@ def process_folder(
                     scene, ds = this_future.result()
                     log_fn(f"processing {entry} "
                            f"({scene.regions.num_points} points)")
-                    _, _, result = process_scene(
+                    fut = process_scene(
                         cfg, scene, model, params, batch_stats,
                         h5_path=h5, lines_path=lines, log_fn=log_fn,
                         extractor=extractor, mesh=mesh,
                         stream_tiles=stream_tiles, device_scene=ds,
+                        finalize_executor=fin_pool,
                     )
-                    if write_labelmaps and result is not None:
-                        if os.path.exists(
-                            os.path.join(shp_folder, f"{entry}_labels.npy")
-                        ):
-                            from deepmerge_tpu.infer.merge import (
-                                write_label_geotiff,
-                            )
-
-                            out_tif = os.path.join(
-                                shp_folder, entry,
-                                f"{cfg.model.name}_merged.tif"
-                            )
-                            write_label_geotiff(
-                                out_tif, result.label_map(scene),
-                                scene.meta.get("geotransform"),
-                            )
-                            log_fn(f"  merged label map -> {out_tif}")
-                        else:
-                            log_fn(
-                                f"  no {entry}_labels.npy superpixel "
-                                "sidecar — skipping label-map export"
-                            )
-                    done.append(entry)
-                except Exception as e:  # a bad scene must not kill the walk
+                except Exception as e:  # ingest/staging/dispatch failure
                     failed.append((entry, str(e)))
                     log_fn(f"FAILED {entry}: {e}")
-                    try:  # don't leave a truncated file looking complete
+                    try:
                         if os.path.exists(h5):
                             os.remove(h5)
                     except OSError:
                         pass
+                    continue
+                if pending is not None:
+                    finish(*pending)
+                pending = (entry, h5, scene, fut)
+            if pending is not None:
+                finish(*pending)
 
     iteration = 0
     while True:

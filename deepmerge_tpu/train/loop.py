@@ -16,6 +16,7 @@ TPU-native redesign of ``Train_SMT.py:143-394``:
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -290,7 +291,11 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
     model = _training_model(model)
     loss_fn = _make_extracting_loss_fn(model, cfg, device_scene, aux_weights)
 
-    @jax.jit
+    # donate the carried state: params + Adam moments (~600 MB flagship)
+    # alias input→output instead of allocating a fresh copy per epoch.
+    # Every caller reassigns ``state = epoch_fn(state, ...)`` so the old
+    # buffers are never read again.
+    @partial(jax.jit, donate_argnums=(0,))
     def _epoch(state: TrainState, padded, centers, scales, designed, flags,
                rng):
         def body(state, xs):

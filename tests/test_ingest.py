@@ -456,3 +456,74 @@ def test_process_folder_watch_picks_up_new_scenes(tmp_path):
                           watch_seconds=0.01, watch_iterations=3)
     assert done == ["tile1", "tile2"]  # tile1 exactly once, tile2 picked up
     assert (shps / "tile2" / f"{cfg.model.name}_features.h5").exists()
+
+
+def test_process_folder_device_engine_async_finalize(tmp_path):
+    """The serving fast path (device merge engine): process_scene returns a
+    Future when given a finalize executor, its results match the sync call
+    exactly, and the pipelined walk (scene k's host finalize overlapping
+    scene k+1) still isolates a corrupt scene and completes the rest."""
+    import os
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    from deepmerge_tpu.config import Config, DataConfig, MergeConfig, ModelConfig
+    from deepmerge_tpu.infer.driver import load_params, process_folder, process_scene
+
+    images = tmp_path / "images"
+    shps = tmp_path / "shps"
+    for seed in (1, 2, 3):
+        scene = generate_scene(h=96, w=96, n_regions=10, n_objects=3,
+                               seed=seed, name=f"tile{seed}")
+        paths = export_scene(scene, str(tmp_path / "stage"))
+        os.makedirs(images, exist_ok=True)
+        os.makedirs(shps / scene.name, exist_ok=True)
+        os.rename(paths["image"], images / f"{scene.name}.tif")
+        for ext in (".shp", ".shx", ".dbf"):
+            os.rename(str(tmp_path / "stage" / f"{scene.name}{ext}"),
+                      shps / f"{scene.name}{ext}")
+            for base in ("PointsGCS", "lines"):
+                src = tmp_path / "stage" / scene.name / f"{base}{ext}"
+                if src.exists():
+                    os.rename(str(src), shps / scene.name / f"{base}{ext}")
+    with open(images / "tile2.tif", "wb") as f:
+        f.write(b"not a tiff at all")
+
+    cfg = Config(
+        model=ModelConfig(variant="v3", input_image_scales=(16, 32, 64),
+                          cube=8, embed_dim=32, depth=(1, 1, 1), num_heads=4,
+                          out_dim=8, dtype="float32"),
+        data=DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+                        eval_batch_size=16),
+        merge=MergeConfig(engine="device"),
+    )
+    logs = []
+    done = process_folder(cfg, str(images), str(shps), log_fn=logs.append)
+    assert done == ["tile1", "tile3"]
+    assert any("FAILED tile2" in ln for ln in logs)
+    assert not (shps / "tile2" / f"{cfg.model.name}_features.h5").exists()
+    for name in done:
+        assert (shps / name / f"{cfg.model.name}_features.h5").exists()
+
+    # async process_scene == sync process_scene, bit for bit
+    scene1 = load_scene(str(images / "tile1.tif"), str(shps / "tile1.shp"),
+                        str(shps / "tile1" / "PointsGCS.shp"),
+                        str(shps / "tile1" / "lines.shp"), name="tile1")
+    model, params, bs = load_params(cfg)
+    emb_s, simi_s, res_s = process_scene(cfg, scene1, model, params, bs,
+                                         log_fn=lambda *_: None)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = process_scene(cfg, scene1, model, params, bs,
+                            log_fn=lambda *_: None, finalize_executor=pool)
+        assert isinstance(fut, Future)
+        emb_a, simi_a, res_a = fut.result()
+    np.testing.assert_array_equal(emb_s, emb_a)
+    np.testing.assert_array_equal(simi_s, simi_a)
+    np.testing.assert_array_equal(res_s.region_to_cluster,
+                                  res_a.region_to_cluster)
+
+    # walked simi (async finalize thread wrote lines.dbf) matches the sync
+    # process_scene scores at dbf precision
+    walked = ShapefileTable.read(str(shps / "tile1" / "lines.shp"))
+    np.testing.assert_allclose(
+        np.asarray(walked.get_field("simi"), np.float64),
+        np.round(simi_s.astype(np.float64), 6), atol=5e-7)
