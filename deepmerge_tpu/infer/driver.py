@@ -414,12 +414,16 @@ def process_folder(
                                               f"{entry}_labels.npy")
                     labels = (np.load(labels_npy)
                               if os.path.exists(labels_npy) else None)
+                    t0 = time.perf_counter()
                     scene = load_scene(image, polygons, pts, lines,
                                        name=entry, deep_pixels=deep_pixels,
                                        labels=labels)
+                    t1 = time.perf_counter()
                     ds = (stage_scene(scene, cfg.data)
                           if prestage and scene.regions.num_points
                           else None)
+                    log_fn(f"  prefetch[{entry}]: ingest {t1 - t0:.3f}s "
+                           f"stage {time.perf_counter() - t1:.3f}s")
                     return scene, ds
 
                 return pool.submit(load)
@@ -431,7 +435,9 @@ def process_folder(
                     submit(jobs[i + 1]) if i + 1 < len(jobs) else None
                 )
                 try:
+                    t0 = time.perf_counter()
                     scene, ds = this_future.result()
+                    t1 = time.perf_counter()
                     log_fn(f"processing {entry} "
                            f"({scene.regions.num_points} points)")
                     fut = process_scene(
@@ -441,6 +447,7 @@ def process_folder(
                         stream_tiles=stream_tiles, device_scene=ds,
                         finalize_executor=fin_pool,
                     )
+                    t2 = time.perf_counter()
                 except Exception as e:  # ingest/staging/dispatch failure
                     failed.append((entry, str(e)))
                     log_fn(f"FAILED {entry}: {e}")
@@ -452,6 +459,10 @@ def process_folder(
                     continue
                 if pending is not None:
                     finish(*pending)
+                t3 = time.perf_counter()
+                log_fn(f"  walk[{entry}]: wait-prefetch {t1 - t0:.3f}s "
+                       f"dispatch {t2 - t1:.3f}s "
+                       f"wait-finalize(prev) {t3 - t2:.3f}s")
                 pending = (entry, h5, scene, fut)
             if pending is not None:
                 finish(*pending)

@@ -458,7 +458,9 @@ class FeatureExtractor:
             )
         from deepmerge_tpu.ops.patches import (
             adaptive_scales,
-            pad_scene,
+            pad_scene_device,
+            scene_pad,
+            staged_channels,
             staging_caps,
         )
 
@@ -492,7 +494,12 @@ class FeatureExtractor:
         for g, (xlo, xhi) in zip(groups, bounds):
             tile = np.zeros((h, wmax, c), scene.image.dtype)
             tile[:, : xhi - xlo] = scene.image[:, xlo:xhi]
-            padded = jnp.asarray(pad_scene(tile, caps))
+            # raw strip over the wire, pad in HBM (H2D is the scarce
+            # resource; the padded layout is ~2x the raw bytes)
+            padded = pad_scene_device(
+                jnp.asarray(tile), pad=scene_pad(caps, c),
+                staged_c=staged_channels(c),
+            )
             centers = scene.regions.points_yx[g].astype(np.int32).copy()
             centers[:, 1] -= xlo
             for start in range(0, len(g), bs):

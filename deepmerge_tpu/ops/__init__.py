@@ -7,6 +7,7 @@ from deepmerge_tpu.ops.patches import (  # noqa: F401
     adaptive_scales,
     extract_multiscale_patches,
     pad_scene,
+    pad_scene_device,
     scene_pad,
     slot_caps,
 )

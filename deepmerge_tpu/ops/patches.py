@@ -147,6 +147,22 @@ def scene_pad(caps: int | tuple[int, ...], channels: int) -> int:
     return m // 2 + max(ROW_ALIGN, _pixel_align(staged_channels(channels)))
 
 
+@functools.partial(jax.jit, static_argnames=("pad", "staged_c"))
+def pad_scene_device(tile, pad: int, staged_c: int):
+    """Device-side ``pad_scene``: upload the RAW (H, W, C) tile, pad in HBM.
+
+    Byte-identical layout to ``pad_scene`` (spatial zeros where the
+    reference's ``cut_image`` zero-fills, ``MyUtils1.py:174-191``; channel
+    pad to the staged power-of-two) — but the host→device transfer moves
+    only the raw bytes, ~2.2× less than the padded layout for a 2048² RGB
+    scene (12.6 vs 27.5 MB). H2D bandwidth is the scarce resource on the
+    serving path, so staging pads on device.
+    """
+    h, w, c = tile.shape
+    out = jnp.zeros((h + 2 * pad, w + 2 * pad, staged_c), tile.dtype)
+    return out.at[pad : pad + h, pad : pad + w, :c].set(tile)
+
+
 def pad_scene(scene: np.ndarray, caps: int | tuple[int, ...]) -> np.ndarray:
     """Zero-pad an (H, W, C) scene for in-bounds aligned window DMA.
 

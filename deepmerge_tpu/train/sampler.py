@@ -30,7 +30,9 @@ from deepmerge_tpu.geodata.types import Scene
 from deepmerge_tpu.ops.patches import (
     adaptive_scales,
     extract_multiscale_patches,
-    pad_scene,
+    pad_scene_device,
+    scene_pad,
+    staged_channels,
     staging_caps,
 )
 
@@ -56,8 +58,15 @@ def stage_scene(scene: Scene, cfg: DataConfig) -> DeviceScene:
     # scene — one compile per cap signature); warns on clamping
     caps = staging_caps(inner, obj, cfg.patch_sizes, cfg.max_window,
                         scene_name=scene.name)
+    # raw tile over the wire, pad in HBM (pad_scene_device: the padded
+    # layout is ~2.2x the raw bytes and H2D is the scarce resource)
+    image = np.ascontiguousarray(scene.image)
     return DeviceScene(
-        padded=jnp.asarray(pad_scene(scene.image, caps)),
+        padded=pad_scene_device(
+            jnp.asarray(image),
+            pad=scene_pad(caps, image.shape[-1]),
+            staged_c=staged_channels(image.shape[-1]),
+        ),
         points_yx=scene.regions.points_yx,
         point_features=feats,
         point_inner=inner,

@@ -159,3 +159,24 @@ def test_patches_5band_bottom_edge(rng):
             assert (
                 np.abs(got * 255 - ref[slot] * 255).max() <= 1.001
             ), f"point {b} slot {slot}"
+
+
+def test_stage_scene_device_pad_matches_host(tiny_data_cfg):
+    """Staging uploads the RAW tile and pads in HBM; the device-side pad
+    must be byte-identical to the host ``pad_scene`` layout (zero fill
+    where ``cut_image`` zero-fills, MyUtils1.py:174-191, channel pad to
+    the staged power-of-two) for 1/3/5-band scenes."""
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.train.sampler import stage_scene
+
+    for bands in (1, 3, 5):
+        scene = generate_scene(h=96, w=128, n_regions=10, n_objects=3,
+                               seed=bands)
+        if bands != 3:
+            reps = -(-bands // 3)
+            scene.image = np.tile(scene.image, (1, 1, reps))[..., :bands]
+        ds = stage_scene(scene, tiny_data_cfg)
+        ref = pad_scene(scene.image, ds.caps)
+        got = np.asarray(ds.padded)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
