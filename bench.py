@@ -48,6 +48,7 @@ def serve_bench():
     cfg = Config(
         model=ModelConfig(
             dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3"),
+            quantize="" if os.environ.get("BENCH_QUANT") == "0" else "w8a8",
         ),
         data=DataConfig(max_window=512, eval_batch_size=int(
             os.environ.get("BENCH_BATCH", 2048))),
@@ -216,6 +217,10 @@ def main():
         dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3"),
         fused_stage_chain=chain != "0", chain_stage0=chain == "2",
         fused_block_bt=int(os.environ.get("BENCH_BT", 2)),
+        # w8a8 int8-MXU serving is the DEFAULT (quality-neutral on the
+        # full trained trajectory: EVAL.md round-3 quantized validation,
+        # tests/test_quantize.py); BENCH_QUANT=0 A/Bs the bf16 path
+        quantize="" if os.environ.get("BENCH_QUANT") == "0" else "w8a8",
     )
     dcfg = DataConfig(max_window=512, eval_batch_size=BATCH)
     model = build_model(mcfg)

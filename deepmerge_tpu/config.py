@@ -56,6 +56,24 @@ class ModelConfig:
                                               # (~15ms/block cheaper on VPU; value
                                               # diff <=3e-3, well inside the 0.5%
                                               # label-parity budget)
+    quantize: str = ""                        # "" (bf16) or "w8a8": int8 MXU dots for
+                                              # the megakernel's qkv/proj/mlp GEMMs
+                                              # (1.44x/block on v5e; inference-only,
+                                              # needs the fused-block path)
+
+    def __post_init__(self):
+        if self.quantize not in ("", "w8a8"):
+            raise ValueError(
+                f"model.quantize must be '' or 'w8a8', got {self.quantize!r}"
+            )
+        if self.quantize and (not self.fused_block or self.exact_gelu):
+            import warnings
+
+            warnings.warn(
+                "model.quantize is set but the megakernel path is off "
+                "(fused_block=False or exact_gelu=True) — blocks will run "
+                "the bf16 XLA path and quantize is a no-op"
+            )
 
     @property
     def n_scales(self) -> int:

@@ -294,6 +294,7 @@ class CrossScaleBlock(nn.Module):
     fused: bool = True
     fused_block: bool = False
     exact_gelu: bool = False
+    quantize: bool = False
     block_bt: int = 2
     dtype: Any = jnp.float32
 
@@ -370,10 +371,24 @@ class CrossScaleBlock(nn.Module):
         )
 
     def _fused_block(self, x):
-        from deepmerge_tpu.ops.pallas.fused_block import fused_block
+        from deepmerge_tpu.ops.pallas.fused_block import (
+            fused_block,
+            quantize_block_params,
+        )
         from deepmerge_tpu.ops.pallas.window_gather import default_interpret
 
         params = self._collect_fused_params(x)
+        if self.quantize:
+            # w8a8: int8 MXU dots for qkv/proj/mlp (26.1 vs 37.5 ms/block
+            # at the stage-0 operating point on v5e — BENCH.md round-3).
+            # Weights re-quantize per dispatch (XLA ops outside the kernel;
+            # ~0.1 ms for the whole model) so the param tree is unchanged.
+            return fused_block(
+                x.astype(self.dtype), quantize_block_params(params),
+                heads=self.num_heads, exact_gelu=self.exact_gelu,
+                block_b=self.block_bt, interpret=default_interpret(),
+                quant=True,
+            )
         # VMEM tile size: bt=2 everywhere. Isolated-kernel sweeps prefer
         # bigger tiles for the short stage-1/2 sequences (9.3 vs 11.5ms at
         # n=48), but inside the full extraction program per-stage tile
@@ -545,6 +560,7 @@ class S2Former(nn.Module):
                     fused_block=cfg.fused_block,
                     block_bt=cfg.fused_block_bt,
                     exact_gelu=cfg.exact_gelu,
+                    quantize=cfg.quantize == "w8a8",
                     dtype=dtype, name=f"{tag}_{i}",
                 )
                 for i in range(depth)
@@ -614,7 +630,10 @@ class S2Former(nn.Module):
         if (
             chain and len(blocks) > 1 and blocks[0].fused_block_eligible
         ):
-            from deepmerge_tpu.ops.pallas.fused_block import fused_block_chain
+            from deepmerge_tpu.ops.pallas.fused_block import (
+                fused_block_chain,
+                quantize_block_params,
+            )
             from deepmerge_tpu.ops.pallas.window_gather import (
                 default_interpret,
             )
@@ -622,11 +641,16 @@ class S2Former(nn.Module):
             params_list = tuple(
                 blk(x, det, return_fused_params=True) for blk in blocks
             )
+            quant = blocks[0].quantize
+            if quant:
+                params_list = tuple(
+                    quantize_block_params(p) for p in params_list
+                )
             return fused_block_chain(
                 x.astype(self.dtype_), params_list,
                 heads=self.cfg.num_heads, exact_gelu=self.cfg.exact_gelu,
                 block_b=self.cfg.fused_block_bt,
-                interpret=default_interpret(),
+                interpret=default_interpret(), quant=quant,
             )
         for blk in blocks:
             x = blk(x, det)

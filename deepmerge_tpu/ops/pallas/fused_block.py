@@ -37,20 +37,15 @@ def _ln(x, scale, bias, eps=1e-5):
     return (m - mu) * lax.rsqrt(v + eps) * scale + bias
 
 
-def _block_math(xi, l1s, l1b, wq, bq, b32, wp, bp, l2s, l2b,
-                wu, bu, wd, bd, *, heads: int, exact_gelu: bool):
-    """One pre-LN block on a VMEM-resident (bt, n, c) tile. All params are
-    loaded values; ``b32`` is the (H, N, N) float32 attention bias."""
-    bt, n, c = xi.shape
+def _attn_inner(qkv, b32, *, heads: int, dtype):
+    """Per-head biased softmax attention on a VMEM-resident (bt, n, 3c)
+    qkv tile. Static head unroll; lane slices are VMEM-local."""
+    bt, n, c3 = qkv.shape
+    c = c3 // 3
     d = c // heads
     scale = d ** -0.5
-    y = _ln(xi, l1s, l1b).astype(xi.dtype).reshape(bt * n, c)
-    qkv = (
-        jnp.dot(y, wq, preferred_element_type=jnp.float32)
-        .astype(xi.dtype) + bq
-    ).reshape(bt, n, 3 * c)
     outs = []
-    for h in range(heads):  # static unroll; lane slices are VMEM-local
+    for h in range(heads):
         q = qkv[:, :, h * d : (h + 1) * d] * scale
         k = qkv[:, :, c + h * d : c + (h + 1) * d]
         v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
@@ -62,11 +57,24 @@ def _block_math(xi, l1s, l1b, wq, bq, b32, wp, bp, l2s, l2b,
         e = jnp.exp(logits - m)
         recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         av = lax.dot_general(
-            e.astype(xi.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            e.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         outs.append(av * recip)
-    a = jnp.concatenate(outs, axis=2).astype(xi.dtype)
+    return jnp.concatenate(outs, axis=2).astype(dtype)
+
+
+def _block_math(xi, l1s, l1b, wq, bq, b32, wp, bp, l2s, l2b,
+                wu, bu, wd, bd, *, heads: int, exact_gelu: bool):
+    """One pre-LN block on a VMEM-resident (bt, n, c) tile. All params are
+    loaded values; ``b32`` is the (H, N, N) float32 attention bias."""
+    bt, n, c = xi.shape
+    y = _ln(xi, l1s, l1b).astype(xi.dtype).reshape(bt * n, c)
+    qkv = (
+        jnp.dot(y, wq, preferred_element_type=jnp.float32)
+        .astype(xi.dtype) + bq
+    ).reshape(bt, n, 3 * c)
+    a = _attn_inner(qkv, b32, heads=heads, dtype=xi.dtype)
     p = (
         jnp.dot(a.reshape(bt * n, c), wp,
                 preferred_element_type=jnp.float32).astype(xi.dtype)
@@ -86,6 +94,79 @@ def _block_math(xi, l1s, l1b, wq, bq, b32, wp, bp, l2s, l2b,
     return r + o
 
 
+# ---------------------------------------------------------------------------
+# w8a8 quantized path (inference). Per-output-channel symmetric int8 weights
+# + dynamic per-row symmetric activation quantization, int8x8->int32 MXU
+# dots (1.9x the bf16 rate on v5e — BENCH.md round-3 int8 probes). The
+# attention inner loop (q@k / p@v, d=64) stays bf16: it is ~15% of block
+# time and numerically the most delicate part.
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight(w):
+    """(K, N) float weight → (int8 (K, N), float32 per-column scale (N,)).
+
+    Symmetric per-output-channel: q = round(w / s), s = colmax|w| / 127.
+    """
+    wf = w.astype(jnp.float32)
+    a = jnp.max(jnp.abs(wf), axis=0)
+    s = jnp.where(a > 0, a / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_block_params(params):
+    """Megakernel 13-tuple → w8a8 17-tuple (int8 weights + col scales)."""
+    (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = params
+    qq, sq = quantize_weight(wq)
+    qp, sp = quantize_weight(wp)
+    qu, su = quantize_weight(wu)
+    qd, sd = quantize_weight(wd)
+    return (l1s.astype(jnp.float32), l1b.astype(jnp.float32), qq, sq, bq,
+            bias, qp, sp, bp, l2s.astype(jnp.float32),
+            l2b.astype(jnp.float32), qu, su, bu, qd, sd, bd)
+
+
+def _qdot(y, wq, s_col):
+    """f32 (M, K) × int8 (K, N) with dynamic per-row activation quant.
+
+    Returns f32 (M, N) = dequantized int32 accumulator. Row scale is
+    abs-max/127 of the f32 activations; the dot runs on the int8 MXU path.
+    """
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    sr = jnp.where(amax > 0, amax / 127.0, 1.0)
+    yq = jnp.clip(jnp.round(y / sr), -127, 127).astype(jnp.int8)
+    acc = lax.dot_general(yq, wq, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sr * s_col[None, :]
+
+
+def _block_math_q8(xi, l1s, l1b, wq, sq, bq, b32, wp, sp, bp, l2s, l2b,
+                   wu, su, bu, wd, sd, bd, *, heads: int, exact_gelu: bool):
+    """w8a8 variant of ``_block_math``: the four big GEMMs (qkv, proj,
+    mlp-up, mlp-down) run int8×int8→int32; attention stays bf16."""
+    bt, n, c = xi.shape
+    y = _ln(xi, l1s, l1b).reshape(bt * n, c)  # f32
+    qkv = (
+        _qdot(y, wq, sq).astype(xi.dtype) + bq
+    ).reshape(bt, n, 3 * c)
+    a = _attn_inner(qkv, b32, heads=heads, dtype=xi.dtype)
+    p = (
+        _qdot(a.reshape(bt * n, c).astype(jnp.float32), wp, sp)
+        .astype(xi.dtype) + bp
+    ).reshape(bt, n, c)
+    r = xi + p
+    y2 = _ln(r, l2s, l2b).reshape(bt * n, c)  # f32
+    h1 = jax.nn.gelu(
+        _qdot(y2, wu, su) + bu.astype(jnp.float32),
+        approximate=not exact_gelu,
+    )
+    o = (
+        _qdot(h1, wd, sd).astype(xi.dtype) + bd
+    ).reshape(bt, n, c)
+    return r + o
+
+
 def _block_kernel(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
                   wu, bu, wd, bd, out_ref, *, heads: int, exact_gelu: bool):
     out_ref[...] = _block_math(
@@ -96,24 +177,44 @@ def _block_kernel(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
     )
 
 
-def _chain_kernel(x_ref, *refs, heads: int, exact_gelu: bool, depth: int):
+def _block_kernel_q8(x_ref, l1s, l1b, wq, sq, bq, bias_ref, wp, sp, bp,
+                     l2s, l2b, wu, su, bu, wd, sd, bd, out_ref, *,
+                     heads: int, exact_gelu: bool):
+    out_ref[...] = _block_math_q8(
+        x_ref[...], l1s[...], l1b[...], wq[...], sq[...], bq[...],
+        bias_ref[...].astype(jnp.float32), wp[...], sp[...], bp[...],
+        l2s[...], l2b[...], wu[...], su[...], bu[...], wd[...], sd[...],
+        bd[...], heads=heads, exact_gelu=exact_gelu,
+    )
+
+
+def _chain_kernel(x_ref, *refs, heads: int, exact_gelu: bool, depth: int,
+                  quant: bool = False):
     """``depth`` blocks back-to-back on one VMEM-resident tile: the
     intermediate sequence never touches HBM between blocks (the short
     stage-1/2 sequences pay mostly memory traffic per block under the
     one-kernel-per-block scheme)."""
     out_ref = refs[-1]
     params = refs[:-1]
+    width = 17 if quant else 13
     xi = x_ref[...]
     for b in range(depth):  # static unroll
-        (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = (
-            params[13 * b : 13 * (b + 1)]
-        )
-        xi = _block_math(
-            xi, l1s[...], l1b[...], wq[...], bq[...],
-            bias[...].astype(jnp.float32), wp[...], bp[...], l2s[...],
-            l2b[...], wu[...], bu[...], wd[...], bd[...],
-            heads=heads, exact_gelu=exact_gelu,
-        ).astype(x_ref.dtype)
+        p = [r[...] for r in params[width * b : width * (b + 1)]]
+        if quant:
+            (l1s, l1b, wq, sq, bq, bias, wp, sp, bp, l2s, l2b,
+             wu, su, bu, wd, sd, bd) = p
+            xi = _block_math_q8(
+                xi, l1s, l1b, wq, sq, bq, bias.astype(jnp.float32),
+                wp, sp, bp, l2s, l2b, wu, su, bu, wd, sd, bd,
+                heads=heads, exact_gelu=exact_gelu,
+            ).astype(x_ref.dtype)
+        else:
+            (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = p
+            xi = _block_math(
+                xi, l1s, l1b, wq, bq, bias.astype(jnp.float32), wp, bp,
+                l2s, l2b, wu, bu, wd, bd,
+                heads=heads, exact_gelu=exact_gelu,
+            ).astype(x_ref.dtype)
     out_ref[...] = xi
 
 
@@ -142,26 +243,36 @@ def _xla_block(x, params, heads: int, exact_gelu: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "exact_gelu", "block_b", "interpret")
+    jax.jit,
+    static_argnames=("heads", "exact_gelu", "block_b", "interpret", "quant"),
 )
 def fused_block(x, params, heads: int, exact_gelu: bool = False,
-                block_b: int = 2, interpret: bool = False):
+                block_b: int = 2, interpret: bool = False,
+                quant: bool = False):
     """Whole pre-LN transformer block in one Pallas kernel.
 
     Args:
       x: (B, N, C).
       params: tuple (ln1_scale, ln1_bias, w_qkv, b_qkv, attn_bias(H,N,N),
         w_proj, b_proj, ln2_scale, ln2_bias, w_up, b_up, w_dn, b_dn) —
-        LN params float32, weights in x's dtype.
+        LN params float32, weights in x's dtype. With ``quant=True``, the
+        17-tuple from ``quantize_block_params`` instead.
       heads: static head count.
       exact_gelu: erf GELU (torch parity) vs tanh approximation. NOTE:
         Mosaic has no erf/erfc lowering, so exact_gelu=True only works in
         interpret mode — the model layer routes exact-GELU configs to the
         XLA path (models/s2former.py CrossScaleBlock).
       block_b: samples per program (VMEM tile).
+      quant: w8a8 experiment — int8 MXU dots for the four big GEMMs
+        (measured NEGATIVE end to end on v5e, see BENCH.md round-3 int8
+        probes; kept for the record). Inference-only: not differentiable.
 
-    Returns (B, N, C) in x's dtype. Differentiable (XLA recompute VJP).
+    Returns (B, N, C) in x's dtype. Differentiable (XLA recompute VJP)
+    unless ``quant``.
     """
+    if quant:
+        return _fused_block_forward(x, params, heads, exact_gelu, block_b,
+                                    interpret, quant=True)
     return _fused_block_vjp(x, params, heads, exact_gelu, block_b, interpret)
 
 
@@ -195,10 +306,12 @@ def _xla_chain(x, params_list, heads: int, exact_gelu: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "exact_gelu", "block_b", "interpret")
+    jax.jit,
+    static_argnames=("heads", "exact_gelu", "block_b", "interpret", "quant"),
 )
 def fused_block_chain(x, params_list, heads: int, exact_gelu: bool = False,
-                      block_b: int = 2, interpret: bool = False):
+                      block_b: int = 2, interpret: bool = False,
+                      quant: bool = False):
     """A WHOLE stage — ``depth`` pre-LN blocks — in one Pallas kernel.
 
     Every block's weights are VMEM-resident for the kernel's lifetime and
@@ -218,6 +331,12 @@ def fused_block_chain(x, params_list, heads: int, exact_gelu: bool = False,
     the whole chain).
     """
     params_list = tuple(tuple(p) for p in params_list)
+    if quant:
+        if len(params_list) == 1:
+            return _fused_block_forward(x, params_list[0], heads, exact_gelu,
+                                        block_b, interpret, quant=True)
+        return _fused_chain_forward(x, params_list, heads, exact_gelu,
+                                    block_b, interpret, quant=True)
     if len(params_list) == 1:
         return _fused_block_vjp(x, params_list[0], heads, exact_gelu,
                                 block_b, interpret)
@@ -248,38 +367,47 @@ def _fused_chain_bwd(heads, exact_gelu, block_b, interpret, res, g):
 _fused_chain_vjp.defvjp(_fused_chain_fwd, _fused_chain_bwd)
 
 
+def _block_param_specs(p, c, quant):
+    """(in_specs, flat_args) for one block's params (13- or 17-tuple)."""
+    whole = lambda i: (0, 0)
+    VM = pl.BlockSpec(memory_space=pltpu.VMEM)
+    W = lambda a: pl.BlockSpec(a.shape, whole, memory_space=pltpu.VMEM)
+    if quant:
+        (l1s, l1b, wq, sq, bq, bias, wp, sp, bp, l2s, l2b,
+         wu, su, bu, wd, sd, bd) = p
+        specs = [VM, VM, W(wq), VM, VM, VM, W(wp), VM, VM, VM, VM,
+                 W(wu), VM, VM, W(wd), VM, VM]
+        flat = [l1s, l1b, wq, sq, bq, bias.astype(jnp.float32), wp, sp, bp,
+                l2s, l2b, wu, su, bu, wd, sd, bd]
+    else:
+        (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = p
+        specs = [VM, VM, W(wq), VM, VM, W(wp), VM, VM, VM,
+                 W(wu), VM, W(wd), VM]
+        flat = [l1s, l1b, wq, bq, bias.astype(jnp.float32), wp, bp,
+                l2s, l2b, wu, bu, wd, bd]
+    return specs, flat
+
+
 def _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
-                         interpret):
+                         interpret, quant=False):
     b, n, c = x.shape
     depth = len(params_list)
     block_b = min(block_b, max(b, 1))
     pad = (-b) % block_b
     if pad:
         x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
-    whole = lambda i: (0, 0)
-    VM = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     flat = [x]
     for p in params_list:
-        (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = p
-        hid = wu.shape[1]
-        in_specs += [
-            VM, VM,
-            pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM), VM,
-            VM,  # attention bias (whole)
-            pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM), VM,
-            VM, VM,
-            pl.BlockSpec((c, hid), whole, memory_space=pltpu.VMEM), VM,
-            pl.BlockSpec((hid, c), whole, memory_space=pltpu.VMEM), VM,
-        ]
-        flat += [l1s, l1b, wq, bq, bias.astype(jnp.float32), wp, bp,
-                 l2s, l2b, wu, bu, wd, bd]
+        specs_p, flat_p = _block_param_specs(p, c, quant)
+        in_specs += specs_p
+        flat += flat_p
     out = pl.pallas_call(
         functools.partial(_chain_kernel, heads=heads, exact_gelu=exact_gelu,
-                          depth=depth),
+                          depth=depth, quant=quant),
         grid=((b + pad) // block_b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
@@ -294,29 +422,22 @@ def _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
     return out[:b] if pad else out
 
 
-def _fused_block_forward(x, params, heads, exact_gelu, block_b, interpret):
+def _fused_block_forward(x, params, heads, exact_gelu, block_b, interpret,
+                         quant=False):
     b, n, c = x.shape
-    (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = params
-    hid = wu.shape[1]
     block_b = min(block_b, max(b, 1))
     pad = (-b) % block_b
     if pad:
         x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
-    whole = lambda i: (0, 0)
-    VM = pl.BlockSpec(memory_space=pltpu.VMEM)
+    specs_p, flat_p = _block_param_specs(params, c, quant)
+    kern = _block_kernel_q8 if quant else _block_kernel
     out = pl.pallas_call(
-        functools.partial(_block_kernel, heads=heads, exact_gelu=exact_gelu),
+        functools.partial(kern, heads=heads, exact_gelu=exact_gelu),
         grid=((b + pad) // block_b,),
         in_specs=[
             pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            VM, VM,
-            pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM), VM,
-            VM,  # attention bias (whole)
-            pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM), VM,
-            VM, VM,
-            pl.BlockSpec((c, hid), whole, memory_space=pltpu.VMEM), VM,
-            pl.BlockSpec((hid, c), whole, memory_space=pltpu.VMEM), VM,
+            *specs_p,
         ],
         out_specs=pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -326,6 +447,5 @@ def _fused_block_forward(x, params, heads, exact_gelu, block_b, interpret):
             dimension_semantics=("parallel",),
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(x, l1s, l1b, wq, bq, bias.astype(jnp.float32), wp, bp, l2s, l2b,
-      wu, bu, wd, bd)
+    )(x, *flat_p)
     return out[:b] if pad else out

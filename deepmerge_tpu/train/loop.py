@@ -91,7 +91,11 @@ def _training_model(model: S2Former) -> S2Former:
 
     from deepmerge_tpu.models.s2former import build_model
 
-    return build_model(dataclasses.replace(model.cfg, fused_block=False))
+    # quantize rides the megakernel (inference-only, non-differentiable) —
+    # clear it alongside fused_block so training always runs bf16
+    return build_model(
+        dataclasses.replace(model.cfg, fused_block=False, quantize="")
+    )
 
 
 def _siamese_forward_loss(model, params, batch_stats, patches, designed,

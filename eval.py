@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="/tmp/deepmerge_eval_ckpt")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the checkpoint dir")
+    p.add_argument("--quantize", choices=["", "w8a8"], default="",
+                   help="serve the held-out scenes with the quantized "
+                   "(int8-MXU) inference path; training stays bf16")
     args = p.parse_args(argv)
 
     if args.full:
@@ -97,7 +100,8 @@ def main(argv=None):
     print(f"[eval] trained {epochs} epochs in {t_train:.1f}s, "
           f"final loss {final_loss:.5f}")
 
-    model = build_model(cfg.model)
+    infer_mcfg = dataclasses.replace(cfg.model, quantize=args.quantize)
+    model = build_model(infer_mcfg)
     extractor = FeatureExtractor(
         model, state.params, batch_stats=dict(state.batch_stats) or None,
         batch_size=min(2000, regions * points),
@@ -144,7 +148,7 @@ def main(argv=None):
         })
 
     print(json.dumps({
-        "config": dataclasses.asdict(cfg.model),
+        "config": dataclasses.asdict(infer_mcfg),
         "epochs": epochs,
         "train_seconds": round(t_train, 1),
         "final_loss": round(float(final_loss), 6),

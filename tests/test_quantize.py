@@ -1,0 +1,161 @@
+"""w8a8 quantized megakernel: kernel parity, model closeness, merge parity.
+
+The quantized path runs the megakernel's qkv/proj/mlp GEMMs as int8 MXU
+dots (per-output-channel weight scales + dynamic per-row activation
+quantization; attention inner loop stays in the compute dtype). Measured
+26.1 vs 37.5 ms/block at the stage-0 operating point on v5e (BENCH.md
+round-3). The reference has no quantized path — this is a deployment
+surface of the new framework, gated on the same ≤0.5% partition-parity
+budget as every other non-bit-exact speed knob (BASELINE.md north star).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepmerge_tpu.config import ModelConfig
+from deepmerge_tpu.models.s2former import build_model, init_params
+from deepmerge_tpu.ops.pallas.fused_block import (
+    _block_math_q8,
+    _xla_block,
+    fused_block,
+    fused_block_chain,
+    quantize_block_params,
+    quantize_weight,
+)
+from tests.test_fused_block import _params, _tiny_cfg
+
+
+def test_quantize_weight_roundtrip():
+    w = jax.random.normal(jax.random.key(0), (64, 96), jnp.float32) * 0.1
+    q, s = jax.jit(quantize_weight)(w)
+    assert q.dtype == jnp.int8 and s.shape == (96,)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+    w_np = np.asarray(w)
+    # per-column max quantization error is half a step
+    step = np.asarray(s)
+    assert (np.abs(deq - w_np) <= 0.5 * step[None, :] + 1e-7).all()
+    # zero column gets scale 1 and all-zero codes
+    wz = w.at[:, 0].set(0.0)
+    qz, sz = jax.jit(quantize_weight)(wz)
+    assert float(sz[0]) == 1.0 and not np.asarray(qz)[:, 0].any()
+
+
+@pytest.mark.parametrize("n", [48, 49])  # even + v5-style odd sequence
+def test_q8_block_kernel_matches_direct_math(n):
+    c, heads, hid = 64, 4, 256
+    qp = jax.jit(quantize_block_params)(
+        _params(jax.random.key(0), n, c, heads, hid)
+    )
+    x = jax.random.normal(jax.random.key(1), (5, n, c), jnp.float32)
+    want = np.asarray(_block_math_q8(x, *qp, heads=heads, exact_gelu=False))
+    got = np.asarray(
+        fused_block(x, qp, heads=heads, block_b=2, interpret=True,
+                    quant=True)
+    )
+    # FP-reassociation of the (identical) f32 pre-quant math can flip a row
+    # sitting exactly on an int8 rounding boundary — allow one quant step
+    np.testing.assert_allclose(got, want, rtol=6e-3, atol=1e-3)
+
+
+def test_q8_block_close_to_bf16():
+    n, c, heads, hid = 48, 64, 4, 256
+    params = _params(jax.random.key(0), n, c, heads, hid)
+    qp = jax.jit(quantize_block_params)(params)
+    x = jax.random.normal(jax.random.key(1), (5, n, c), jnp.float32)
+    ref = np.asarray(_xla_block(x, params, heads, False), np.float32).ravel()
+    got = np.asarray(
+        fused_block(x, qp, heads=heads, block_b=2, interpret=True,
+                    quant=True), np.float32,
+    ).ravel()
+    cos = (ref @ got) / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.999, cos
+
+
+def test_q8_chain_matches_per_block():
+    n, c, heads, hid = 48, 64, 4, 256
+    ps = [_params(jax.random.key(i), n, c, heads, hid) for i in range(3)]
+    qps = tuple(jax.jit(quantize_block_params)(p) for p in ps)
+    x = jax.random.normal(jax.random.key(9), (4, n, c), jnp.float32)
+    want = x
+    for qp in qps:
+        want = fused_block(want, qp, heads=heads, block_b=2, interpret=True,
+                           quant=True)
+    got = fused_block_chain(x, qps, heads=heads, block_b=2, interpret=True,
+                            quant=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("variant", ["v3", "v5"])
+def test_model_quantized_close_to_bf16(variant):
+    """Full model, quantize='w8a8' (megakernel + chained stages) vs the
+    plain path on the same params: embeddings stay highly aligned."""
+    kw = dict(variant=variant, depth=(2, 2, 2))
+    cfg_x = _tiny_cfg(fused_block=False, fused_attention=False, **kw)
+    cfg_q = _tiny_cfg(fused_block=True, fused_stage_chain=True,
+                      quantize="w8a8", **kw)
+    m_x, m_q = build_model(cfg_x), build_model(cfg_q)
+    variables = init_params(m_x, jax.random.key(0))
+    # identical param trees: quantization happens at dispatch, checkpoints
+    # are unchanged
+    v_q = init_params(m_q, jax.random.key(0))
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v_q)
+    r = np.random.RandomState(0)
+    patches = tuple(
+        jnp.asarray(r.rand(4, s, s, 3), jnp.float32)
+        for s in cfg_x.input_image_scales
+    )
+    designed = jnp.asarray(r.rand(4, 19), jnp.float32)
+    want = np.asarray(m_x.apply(variables, patches, designed, False),
+                      np.float32)
+    got = np.asarray(m_q.apply(variables, patches, designed, False),
+                     np.float32)
+    cos = np.sum(want * got, -1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1)
+    )
+    assert (cos > 0.995).all(), cos
+
+
+def test_quantized_partition_parity(tiny_model_cfg, tiny_data_cfg):
+    """End-to-end: segmenting a synthetic scene with the quantized model
+    produces (near-)identical merged partitions to the plain model — the
+    same ≤0.5%-pair-disagreement budget as the reference-parity north
+    star (BASELINE.md)."""
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.utils.parity import pair_disagreement
+
+    scene = generate_scene(h=128, w=160, n_regions=24, n_objects=6, seed=3)
+    edges = np.asarray(scene.rag.edges, np.int32)
+    pad = (-len(edges)) % 32
+    valid = np.ones(len(edges), bool)
+    if pad:
+        edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+
+    maps = {}
+    for q in ("", "w8a8"):
+        cfg = dataclasses.replace(tiny_model_cfg, quantize=q)
+        model = build_model(cfg)
+        variables = init_params(model, jax.random.key(0))
+        fx = FeatureExtractor(model, variables["params"], batch_size=16)
+        *_, label_map, _k = fx.segment_scene_device(
+            scene, tiny_data_cfg, edges, valid,
+            num_regions=scene.regions.num_regions, max_rounds=8,
+            region_map=scene.labels,
+        )
+        maps[q or "bf16"] = np.asarray(label_map)
+    dis = pair_disagreement(maps["bf16"], maps["w8a8"])
+    assert dis <= 0.005, f"quantized partition disagreement {dis:.4f}"
+
+
+def test_quantize_config_validation():
+    with pytest.raises(ValueError):
+        ModelConfig(quantize="int4")
+    with pytest.warns(UserWarning, match="quantize"):
+        ModelConfig(quantize="w8a8", fused_block=False)

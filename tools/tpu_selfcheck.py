@@ -123,6 +123,40 @@ def check_fused_block():
               atol=2e-1, rtol=2e-1)
 
 
+def check_fused_block_q8():
+    """w8a8 megakernel on chip vs its interpret lowering + the bf16 path.
+
+    Same interpret-anchored scheme as ``check_fused_block``; the bf16
+    comparison bounds total quantization error at the flagship shape.
+    """
+    from deepmerge_tpu.ops.pallas.fused_block import (
+        _xla_block,
+        fused_block,
+        quantize_block_params,
+    )
+
+    r = np.random.RandomState(7)
+    n, c, heads, hid = 192, 768, 12, 3072
+    rr = lambda *s: jnp.asarray(r.randn(*s) * 0.05, jnp.float32)
+    params = (
+        jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+        rr(c, 3 * c), rr(3 * c), rr(heads, n, n), rr(c, c), rr(c),
+        jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+        rr(c, hid), rr(hid), rr(hid, c), rr(c),
+    )
+    qp = jax.jit(quantize_block_params)(params)
+    x = jnp.asarray(r.randn(8, n, c), jnp.float32)
+    want = np.asarray(
+        fused_block(x, qp, heads=heads, interpret=True, quant=True)
+    )
+    got = np.asarray(fused_block(x, qp, heads=heads, quant=True))
+    check("fused_block w8a8 vs interpret n=192", got, want,
+          atol=6e-2, rtol=6e-2)
+    bf16 = np.asarray(_xla_block(x, params, heads, False))
+    check("fused_block w8a8 vs bf16 ref n=192", got, bf16,
+          atol=3e-1, rtol=3e-1)
+
+
 def check_fused_block_chain():
     """Stage-chained kernel (whole stage, weights VMEM-resident) on chip."""
     from deepmerge_tpu.ops.pallas.fused_block import (
@@ -258,6 +292,8 @@ def main():
     check_attention()
     print("[fused block megakernel]")
     check_fused_block()
+    print("[fused block w8a8]")
+    check_fused_block_q8()
     print("[fused block chain]")
     check_fused_block_chain()
     print("[attention variants]")
