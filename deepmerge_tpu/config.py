@@ -66,13 +66,17 @@ class ModelConfig:
             raise ValueError(
                 f"model.quantize must be '' or 'w8a8', got {self.quantize!r}"
             )
-        if self.quantize and (not self.fused_block or self.exact_gelu):
+        if self.quantize and (
+            not self.fused_block or self.exact_gelu
+            or self.variant in ("vit", "v6")
+        ):
             import warnings
 
             warnings.warn(
                 "model.quantize is set but the megakernel path is off "
-                "(fused_block=False or exact_gelu=True) — blocks will run "
-                "the bf16 XLA path and quantize is a no-op"
+                "(fused_block=False, exact_gelu=True, or a variant without "
+                "CrossScaleBlocks) — inference will run the bf16 path and "
+                "quantize is a no-op"
             )
 
     @property

@@ -150,11 +150,18 @@ def check_fused_block_q8():
         fused_block(x, qp, heads=heads, interpret=True, quant=True)
     )
     got = np.asarray(fused_block(x, qp, heads=heads, quant=True))
+    # Mosaic-vs-interpret f32 reassociation flips int8 codes sitting on a
+    # rounding boundary; each flip moves the output one dequant step and
+    # flips compound across the four GEMMs. Measured on chip at this shape
+    # (outputs span ±13.7): mean|Δ|=0.0019, p99=0.043, max=0.161 — bound
+    # at 2× the observed max (rtol=0: near-zero outputs make rtol lie)
     check("fused_block w8a8 vs interpret n=192", got, want,
-          atol=6e-2, rtol=6e-2)
+          atol=0.33, rtol=0)
     bf16 = np.asarray(_xla_block(x, params, heads, False))
+    # total quantization error vs bf16: measured mean|Δ|=0.051 (≈2.2% of
+    # mean|out|=2.26), max=0.368 — identical from chip and interpret
     check("fused_block w8a8 vs bf16 ref n=192", got, bf16,
-          atol=3e-1, rtol=3e-1)
+          atol=0.75, rtol=0)
 
 
 def check_fused_block_chain():
