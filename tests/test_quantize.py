@@ -159,3 +159,41 @@ def test_quantize_config_validation():
         ModelConfig(quantize="int4")
     with pytest.warns(UserWarning, match="quantize"):
         ModelConfig(quantize="w8a8", fused_block=False)
+    with pytest.warns(UserWarning, match="quantize"):
+        ModelConfig(quantize="w8a8", variant="vit")
+
+
+def test_quantized_sharded_extract_matches_single_device(tiny_model_cfg):
+    """The quantized model through the mesh-sharded extract+merge path
+    (shard_map over disjoint column strips + exact collective merge)
+    produces the same partition as single-device quantized serving."""
+    import jax
+
+    from deepmerge_tpu.config import DataConfig
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.infer.merge import merge_scene_device
+    from deepmerge_tpu.models.s2former import init_params
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.parallel import make_mesh
+    from deepmerge_tpu.parallel.distributed import extract_and_merge_sharded
+
+    cfg = dataclasses.replace(tiny_model_cfg, quantize="w8a8")
+    scene = generate_scene(h=96, w=768, n_regions=24, n_objects=6,
+                           points_per_region=1, seed=21)
+    dcfg = DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+                      eval_batch_size=8)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.key(0))
+
+    extractor = FeatureExtractor(model, variables["params"], batch_size=8)
+    emb = extractor.extract_scene(scene, dcfg)
+    want = merge_scene_device(scene, emb, threshold=1.0, max_rounds=8)
+
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    got = extract_and_merge_sharded(
+        model, variables["params"], scene, dcfg, mesh,
+        threshold=1.0, max_rounds=8,
+    )
+    assert got.num_clusters == want.num_clusters
+    np.testing.assert_array_equal(got.region_to_cluster,
+                                  want.region_to_cluster)
