@@ -67,14 +67,17 @@ class ModelConfig:
                 f"model.quantize must be '' or 'w8a8', got {self.quantize!r}"
             )
         if self.quantize and (
-            not self.fused_block or self.exact_gelu
-            or self.variant in ("vit", "v6")
+            not self.fused_block or not self.fused_attention
+            or self.exact_gelu or self.variant in ("vit", "v6")
+            or self.drop_ratio or self.attn_drop_ratio
+            or self.drop_path_ratio
         ):
             import warnings
 
             warnings.warn(
                 "model.quantize is set but the megakernel path is off "
-                "(fused_block=False, exact_gelu=True, or a variant without "
+                "(fused_block/fused_attention disabled, exact_gelu=True, "
+                "a nonzero dropout ratio, or a variant without "
                 "CrossScaleBlocks) — inference will run the bf16 path and "
                 "quantize is a no-op"
             )

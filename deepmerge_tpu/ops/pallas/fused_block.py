@@ -263,9 +263,10 @@ def fused_block(x, params, heads: int, exact_gelu: bool = False,
         interpret mode — the model layer routes exact-GELU configs to the
         XLA path (models/s2former.py CrossScaleBlock).
       block_b: samples per program (VMEM tile).
-      quant: w8a8 experiment — int8 MXU dots for the four big GEMMs
-        (measured NEGATIVE end to end on v5e, see BENCH.md round-3 int8
-        probes; kept for the record). Inference-only: not differentiable.
+      quant: w8a8 — int8 MXU dots for the four big GEMMs (the DEFAULT
+        serving path: 26.1 vs 37.5 ms/block on v5e, parity-gated per
+        EVAL.md; BENCH.md round-3 int8 section). Inference-only: not
+        differentiable.
 
     Returns (B, N, C) in x's dtype. Differentiable (XLA recompute VJP)
     unless ``quant``.
@@ -324,11 +325,13 @@ def fused_block_chain(x, params_list, heads: int, exact_gelu: bool = False,
     Args:
       x: (B, N, C).
       params_list: tuple of per-block 13-tuples (same layout as
-        ``fused_block``).
-      heads / exact_gelu / block_b / interpret: as in ``fused_block``.
+        ``fused_block``) — or 17-tuples from ``quantize_block_params``
+        with ``quant=True``.
+      heads / exact_gelu / block_b / interpret / quant: as in
+        ``fused_block``.
 
     Returns (B, N, C) in x's dtype. Differentiable (XLA recompute VJP over
-    the whole chain).
+    the whole chain) unless ``quant`` (inference-only).
     """
     params_list = tuple(tuple(p) for p in params_list)
     if quant:
@@ -367,7 +370,7 @@ def _fused_chain_bwd(heads, exact_gelu, block_b, interpret, res, g):
 _fused_chain_vjp.defvjp(_fused_chain_fwd, _fused_chain_bwd)
 
 
-def _block_param_specs(p, c, quant):
+def _block_param_specs(p, quant):
     """(in_specs, flat_args) for one block's params (13- or 17-tuple)."""
     whole = lambda i: (0, 0)
     VM = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -402,7 +405,7 @@ def _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
     ]
     flat = [x]
     for p in params_list:
-        specs_p, flat_p = _block_param_specs(p, c, quant)
+        specs_p, flat_p = _block_param_specs(p, quant)
         in_specs += specs_p
         flat += flat_p
     out = pl.pallas_call(
@@ -429,7 +432,7 @@ def _fused_block_forward(x, params, heads, exact_gelu, block_b, interpret,
     pad = (-b) % block_b
     if pad:
         x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
-    specs_p, flat_p = _block_param_specs(params, c, quant)
+    specs_p, flat_p = _block_param_specs(params, quant)
     kern = _block_kernel_q8 if quant else _block_kernel
     out = pl.pallas_call(
         functools.partial(kern, heads=heads, exact_gelu=exact_gelu),

@@ -28,7 +28,7 @@ def matmul_kernel(a_ref, b_ref, o_ref, *, pet):
     )
 
 
-def make_matmul(M, K, N, dtype, pet, bm=512):
+def make_matmul(M, K, N, pet, bm=512):
     grid = (M // bm,)
     return pl.pallas_call(
         functools.partial(matmul_kernel, pet=pet),
@@ -50,11 +50,15 @@ def probe(M, K, N, dtype, pet, bm=512):
     else:
         a = jnp.asarray(rng.standard_normal((M, K)), dtype)
         b = jnp.asarray(rng.standard_normal((K, N)), dtype)
-    mm = make_matmul(M, K, N, dtype, pet, bm)
+    mm = make_matmul(M, K, N, pet, bm)
 
     def body(i, a, b):
-        aa = (a + i.astype(dtype)) if dtype == jnp.int8 else jnp.where(
-            i % 2 == 0, a, a + dtype(1e-3) if dtype != jnp.int8 else a)
+        # perturb with the loop counter (K distinct values) so XLA cannot
+        # hoist the dot out of the rep_probe loop
+        if dtype == jnp.int8:
+            aa = a + i.astype(dtype)
+        else:
+            aa = a + i.astype(dtype) * dtype(1e-3)
         out = mm(aa, b)
         return jnp.abs(out.astype(jnp.float32)).sum() * 1e-9
 

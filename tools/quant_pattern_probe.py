@@ -21,17 +21,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from deepmerge_tpu.ops.pallas.fused_block import _qdot as qdot  # noqa: E402
 from deepmerge_tpu.utils.profiling import rep_probe  # noqa: E402
-
-
-def qdot(y, wq, s_col):
-    """f32 (M,K) × int8 (K,N) with dynamic per-row symmetric quantization."""
-    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
-    sr = jnp.where(amax > 0, amax / 127.0, 1.0)
-    yq = jnp.clip(jnp.round(y / sr), -127, 127).astype(jnp.int8)
-    acc = lax.dot_general(yq, wq, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * sr * s_col[None, :]
 
 
 def kernel(y_ref, wq_ref, s_ref, o_ref):

@@ -132,6 +132,7 @@ def check_fused_block_q8():
     from deepmerge_tpu.ops.pallas.fused_block import (
         _xla_block,
         fused_block,
+        fused_block_chain,
         quantize_block_params,
     )
 
@@ -162,6 +163,23 @@ def check_fused_block_q8():
     # mean|out|=2.26), max=0.368 — identical from chip and interpret
     check("fused_block w8a8 vs bf16 ref n=192", got, bf16,
           atol=0.75, rtol=0)
+
+    # the production serving default also CHAINS the short stages with
+    # quant=True — cover that kernel variant at the stage-1 shape
+    n1 = 48
+    params1 = tuple(
+        p if p.ndim != 3 else jnp.asarray(r.randn(heads, n1, n1) * 0.05,
+                                          jnp.float32)
+        for p in params
+    )
+    qp1 = jax.jit(quantize_block_params)(params1)
+    x1 = jnp.asarray(r.randn(8, n1, c), jnp.float32)
+    want1 = np.asarray(fused_block_chain(
+        x1, (qp1, qp1), heads=heads, interpret=True, quant=True))
+    got1 = np.asarray(fused_block_chain(
+        x1, (qp1, qp1), heads=heads, quant=True))
+    check("fused_block_chain w8a8 vs interpret n=48x2", got1, want1,
+          atol=0.5, rtol=0)
 
 
 def check_fused_block_chain():
