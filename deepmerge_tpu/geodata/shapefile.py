@@ -85,9 +85,15 @@ class ShapefileTable:
         # layer type and z/m ranges byte-identically
         self.raw_shape_type = raw_shape_type or shape_type
         self.header_ranges = header_ranges
+        # pre-filter dBase deletion flags (set by read(); None = no record
+        # was flagged). Lets geometry read separately (read_point_coords)
+        # re-align with the filtered attribute records.
+        self.deleted_mask: "np.ndarray | None" = None
 
     def __len__(self) -> int:
-        return len(self.shapes)
+        # attribute-only reads (with_geometry=False) leave shapes empty;
+        # the record count is the table length either way
+        return len(self.shapes) or len(self.records)
 
     def get_field(self, name: str) -> list:
         return [r[name] for r in self.records]
@@ -112,9 +118,23 @@ class ShapefileTable:
     # -- IO -------------------------------------------------------------
 
     @staticmethod
-    def read(path: str) -> "ShapefileTable":
+    def read(path: str, with_geometry: bool = True) -> "ShapefileTable":
+        """Read a .shp/.dbf pair.
+
+        ``with_geometry=False`` parses only the .shp HEADER (type + ranges)
+        and the .dbf attribute table — ``shapes`` is left empty. Use for
+        attribute-only consumers (the ingest path reads polygon features /
+        ``PointID`` and line ``LEFT_FID``/``RIGHT_FID`` without ever
+        touching their vertices — parsing 64k geometry records was ~40% of
+        ``load_scene``). Attribute-only tables must not be ``save()``d.
+        """
         base, _ = os.path.splitext(path)
-        shape_type, shapes, raw_type, ranges = _read_shp_full(base + ".shp")
+        if with_geometry:
+            shape_type, shapes, raw_type, ranges = _read_shp_full(
+                base + ".shp")
+        else:
+            shape_type, raw_type, ranges = _read_shp_header(base + ".shp")
+            shapes = []
         fields, records, deleted = _read_dbf_full(base + ".dbf")
         if any(deleted) and len(deleted) == len(shapes):
             # dBase deletion flags (editors that don't repack): drop the
@@ -122,8 +142,11 @@ class ShapefileTable:
             # records[] stay index-aligned (OGR does the same)
             shapes = [s for s, d in zip(shapes, deleted) if not d]
         records = [r for r, d in zip(records, deleted) if not d]
-        return ShapefileTable(shape_type, shapes, fields, records,
-                              raw_shape_type=raw_type, header_ranges=ranges)
+        table = ShapefileTable(shape_type, shapes, fields, records,
+                               raw_shape_type=raw_type, header_ranges=ranges)
+        if any(deleted):
+            table.deleted_mask = np.asarray(deleted, bool)
+        return table
 
     def save(self, path: str) -> None:
         base, _ = os.path.splitext(path)
@@ -149,6 +172,68 @@ def _bbox(shapes: list[Shape]) -> tuple[float, float, float, float]:
 def _read_shp(path: str) -> tuple[int, list[Shape]]:
     shape_type, shapes, _, _ = _read_shp_full(path)
     return shape_type, shapes
+
+
+def _read_shp_header(path: str) -> tuple[int, int, tuple[float, ...]]:
+    """(base_shape_type, raw_shape_type, header ranges) — header only."""
+    with open(path, "rb") as f:
+        data = f.read(100)
+    code, = struct.unpack(">i", data[0:4])
+    if code != 9994:
+        raise ValueError(f"{path}: not a shapefile (code {code})")
+    raw_type, = struct.unpack("<i", data[32:36])
+    ranges = struct.unpack("<8d", data[36:100])
+    return _ZM_TO_BASE.get(raw_type, raw_type), raw_type, ranges
+
+
+def read_point_coords(path: str) -> np.ndarray:
+    """(N, 2) x/y of every record in a POINT-family .shp — vectorized.
+
+    Point layers have uniform record sizes (Point 28, PointZ/M larger with
+    x/y still at the same in-record offset), so the whole file parses as
+    one strided view instead of a 64k-iteration Python loop (the ingest
+    hot path — BENCH.md serving section). Falls back to the general
+    record walk for mixed/null-shape files, raising the same null-shape
+    error the slow path's consumers do.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    code, = struct.unpack(">i", data[0:4])
+    if code != 9994:
+        raise ValueError(f"{path}: not a shapefile (code {code})")
+    raw_type, = struct.unpack("<i", data[32:36])
+    if _ZM_TO_BASE.get(raw_type, raw_type) != SHP_POINT:
+        raise ValueError(f"{path}: not a point layer (type {raw_type})")
+    file_len = struct.unpack(">i", data[24:28])[0] * 2
+    body = len(data) if file_len > len(data) else file_len
+    if body > 100:
+        content_words, = struct.unpack(">i", data[104:108])
+        stride = 8 + content_words * 2
+        n, rem = divmod(body - 100, stride)
+        if rem == 0 and n > 0:
+            # per-record shape type sits 8 bytes into each record
+            tview = np.ndarray((n,), "<i4", data, 108, (stride,))
+            if (tview == raw_type).all():
+                xs = np.ndarray((n,), "<f8", data, 112, (stride,))
+                ys = np.ndarray((n,), "<f8", data, 120, (stride,))
+                return np.stack([xs, ys], axis=1).astype(np.float64)
+            if (tview == 0).any():
+                i = int(np.argmax(tview == 0))
+                raise ValueError(
+                    f"{path}: point record {i} is a null shape (no "
+                    f"geometry) — repack the layer or remove the record"
+                )
+    # mixed record sizes (rare): general walk
+    _, shapes, _, _ = _read_shp_full(path)
+    out = np.zeros((len(shapes), 2), np.float64)
+    for i, s in enumerate(shapes):
+        if len(s.points) == 0:
+            raise ValueError(
+                f"{path}: point record {i} is a null shape (no geometry) "
+                f"— repack the layer or remove the record"
+            )
+        out[i] = s.points[0]
+    return out
 
 
 def _read_shp_full(
@@ -250,32 +335,34 @@ def _read_dbf(path: str) -> tuple[list[DbfField], list[dict]]:
     return fields, [r for r, d in zip(records, deleted) if not d]
 
 
-def _parse_dbf_column(fld: DbfField, txt: np.ndarray) -> list:
-    """Decode one stripped text column per dBase semantics. Vectorized —
+def _parse_dbf_column(fld: DbfField, raw: np.ndarray) -> list:
+    """Decode one stripped BYTES column per dBase semantics. Vectorized —
     the per-cell decode/strip/float loop dominated scene ingestion
-    (~0.45 s per 24k-edge scene)."""
-    if fld.type == "C":
-        return txt.tolist()
+    (~0.45 s per 24k-edge scene). Numeric/logical columns parse straight
+    from the S-dtype array (``astype(float64)`` / ``int(bytes)`` are
+    exact); only text columns pay the unicode decode."""
     if fld.type in ("N", "F"):
         # blank or all-'*' cells are dBase NULLs
-        blank = (txt == "") | ((np.char.strip(txt, "*") == "") & (txt != ""))
+        blank = (raw == b"") | (
+            (np.char.strip(raw, b"*") == b"") & (raw != b"")
+        )
         if fld.decimals or fld.type == "F":
-            floaty = np.ones(txt.shape, bool)
+            floaty = np.ones(raw.shape, bool)
         else:
-            floaty = (np.char.find(txt, ".") >= 0) | (
-                np.char.find(np.char.lower(txt), "e") >= 0
+            floaty = (np.char.find(raw, b".") >= 0) | (
+                np.char.find(np.char.lower(raw), b"e") >= 0
             )
-        num = np.where(blank, "0", txt).astype(np.float64)
+        num = np.where(blank, b"0", raw).astype(np.float64)
         # ints parse from the TEXT: a 16+-digit dBase N column would lose
         # precision through the float64 fast path
         return [
             None if b else (float(x) if f else int(t))
             for b, f, x, t in zip(blank.tolist(), floaty.tolist(),
-                                  num.tolist(), txt.tolist())
+                                  num.tolist(), raw.tolist())
         ]
     if fld.type == "L":
-        return np.isin(np.char.upper(txt), ("T", "Y")).tolist()
-    return txt.tolist()
+        return np.isin(np.char.upper(raw), (b"T", b"Y")).tolist()
+    return np.char.decode(raw, "ascii", "replace").tolist()
 
 
 def _read_dbf_full(path: str) -> tuple[list[DbfField], list[dict], list[bool]]:
@@ -303,11 +390,8 @@ def _read_dbf_full(path: str) -> tuple[list[DbfField], list[dict], list[bool]]:
     for fld in fields:
         cell = np.ascontiguousarray(table[:, col : col + fld.length])
         col += fld.length
-        txt = np.char.strip(
-            np.char.decode(cell.view(f"S{fld.length}")[:, 0], "ascii",
-                           "replace")
-        )
-        cols.append(_parse_dbf_column(fld, txt))
+        raw = np.char.strip(cell.view(f"S{fld.length}")[:, 0])
+        cols.append(_parse_dbf_column(fld, raw))
     names = [f.name for f in fields]
     records = [dict(zip(names, row)) for row in zip(*cols)] if fields else [
         {} for _ in range(n_records)
