@@ -842,3 +842,112 @@ def test_dbf_bigint_column_exact(tmp_path):
     assert recs[0]["id"] == big and isinstance(recs[0]["id"], int)
     assert recs[1]["id"] is None
     assert recs[2]["id"] == 7
+
+
+def test_read_point_coords_matches_record_walk(tmp_path, rng):
+    """The strided fast parse equals the general per-record walk, and the
+    attribute-only read carries the full table without geometry."""
+    from deepmerge_tpu.geodata.shapefile import read_point_coords
+
+    n = 37
+    xy = rng.rand(n, 2) * 1000 - 500
+    shapes = [Shape(SHP_POINT, xy[i : i + 1].copy()) for i in range(n)]
+    fields = [DbfField("PointID", "N", 10), DbfField("tag", "C", 8)]
+    records = [{"PointID": i, "tag": f"t{i}"} for i in range(n)]
+    path = str(tmp_path / "pts.shp")
+    ShapefileTable(SHP_POINT, shapes, fields, records).save(path)
+
+    coords = read_point_coords(path)
+    np.testing.assert_allclose(coords, xy, rtol=1e-12)
+
+    t = ShapefileTable.read(path, with_geometry=False)
+    assert len(t) == n and t.shapes == []
+    assert t.shape_type == SHP_POINT
+    assert t.get_field("PointID") == list(range(n))
+    assert t.get_field("tag") == [f"t{i}" for i in range(n)]
+
+
+def test_read_point_coords_pointz_strided(tmp_path):
+    """PointZ layers have a bigger uniform record, but x/y sit at the 2-D
+    offsets — the strided view must step the full record."""
+    import struct
+
+    from deepmerge_tpu.geodata.shapefile import read_point_coords
+
+    xy = [(3.5, 4.5), (-2.0, 9.0), (0.25, -0.75)]
+    body = b""
+    for i, (x, y) in enumerate(xy):
+        rec = struct.pack("<idddd", 11, x, y, 99.0 + i, -1.0)
+        body += struct.pack(">ii", i + 1, len(rec) // 2) + rec
+    hdr = (
+        struct.pack(">i", 9994) + b"\0" * 20
+        + struct.pack(">i", (100 + len(body)) // 2)
+        + struct.pack("<ii", 1000, 11) + struct.pack("<8d", *([0.0] * 8))
+    )
+    p = tmp_path / "pz.shp"
+    p.write_bytes(hdr + body)
+    np.testing.assert_array_equal(read_point_coords(str(p)), np.array(xy))
+
+
+def test_read_point_coords_null_shape_raises(tmp_path):
+    """Null shapes (type 0) raise the same loud error on both the uniform-
+    stride path and the mixed-size fallback walk."""
+    import struct
+
+    from deepmerge_tpu.geodata.shapefile import read_point_coords
+
+    def layer(recs):
+        body = b""
+        for i, rec in enumerate(recs):
+            body += struct.pack(">ii", i + 1, len(rec) // 2) + rec
+        return (
+            struct.pack(">i", 9994) + b"\0" * 20
+            + struct.pack(">i", (100 + len(body)) // 2)
+            + struct.pack("<ii", 1000, 1) + struct.pack("<8d", *([0.0] * 8))
+            + body
+        )
+
+    point = struct.pack("<idd", 1, 1.0, 2.0)
+    null = struct.pack("<i", 0)
+    # uniform stride: every record null-typed but point-sized
+    null_padded = struct.pack("<idd", 0, 0.0, 0.0)
+    u = tmp_path / "u.shp"
+    u.write_bytes(layer([point, null_padded]))
+    with pytest.raises(ValueError, match="null shape"):
+        read_point_coords(str(u))
+    # mixed record sizes: falls back to the general walk, same error
+    m = tmp_path / "m.shp"
+    m.write_bytes(layer([point, null]))
+    with pytest.raises(ValueError, match="null shape"):
+        read_point_coords(str(m))
+
+
+def test_attribute_only_read_deleted_mask_realigns_coords(tmp_path, rng):
+    """load_scene reads attributes and geometry separately; the deleted_mask
+    left by read() must realign read_point_coords with the filtered records
+    (dBase deletion flags drop records, not .shp geometry)."""
+    from deepmerge_tpu.geodata.shapefile import read_point_coords
+
+    n = 5
+    xy = rng.rand(n, 2) * 100
+    shapes = [Shape(SHP_POINT, xy[i : i + 1].copy()) for i in range(n)]
+    fields = [DbfField("PointID", "N", 10)]
+    records = [{"PointID": i} for i in range(n)]
+    path = str(tmp_path / "pts.shp")
+    ShapefileTable(SHP_POINT, shapes, fields, records).save(path)
+
+    # flag record 2 deleted in the dbf (header 32 + field desc 32 + 1)
+    dbf = tmp_path / "pts.dbf"
+    raw = bytearray(dbf.read_bytes())
+    header_size = 32 + 32 * len(fields) + 1
+    record_size = 1 + 10
+    raw[header_size + 2 * record_size] = ord("*")
+    dbf.write_bytes(bytes(raw))
+
+    t = ShapefileTable.read(path, with_geometry=False)
+    assert len(t) == n - 1
+    assert t.deleted_mask is not None
+    coords = read_point_coords(path)[~t.deleted_mask]
+    keep = [0, 1, 3, 4]
+    np.testing.assert_allclose(coords, xy[keep], rtol=1e-12)
+    assert t.get_field("PointID") == keep
