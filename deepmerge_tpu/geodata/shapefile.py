@@ -149,6 +149,13 @@ class ShapefileTable:
         return table
 
     def save(self, path: str) -> None:
+        if not self.shapes and self.records:
+            raise ValueError(
+                "save() on an attribute-only table (read with "
+                "with_geometry=False) would write an empty .shp — re-read "
+                "with geometry, or use update_dbf_field for "
+                "attribute-only write-back"
+            )
         base, _ = os.path.splitext(path)
         _write_shp(base + ".shp", base + ".shx", self.raw_shape_type,
                    self.shapes, header_ranges=self.header_ranges)

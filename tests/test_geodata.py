@@ -951,3 +951,15 @@ def test_attribute_only_read_deleted_mask_realigns_coords(tmp_path, rng):
     keep = [0, 1, 3, 4]
     np.testing.assert_allclose(coords, xy[keep], rtol=1e-12)
     assert t.get_field("PointID") == keep
+
+
+def test_attribute_only_table_save_rejected(tmp_path, rng):
+    """Writing an attribute-only table would silently drop geometry."""
+    xy = rng.rand(3, 2)
+    shapes = [Shape(SHP_POINT, xy[i : i + 1].copy()) for i in range(3)]
+    path = str(tmp_path / "p.shp")
+    ShapefileTable(SHP_POINT, shapes, [DbfField("id", "N", 10)],
+                   [{"id": i} for i in range(3)]).save(path)
+    t = ShapefileTable.read(path, with_geometry=False)
+    with pytest.raises(ValueError, match="attribute-only"):
+        t.save(str(tmp_path / "out.shp"))
