@@ -13,6 +13,15 @@ import json
 from dataclasses import dataclass, field
 from typing import Any, Sequence
 
+# Variants whose backbone is a stack of CrossScaleBlocks (the reference's
+# nets/ShfitScaleFormer.py transformer stages). The Pallas megakernel — and
+# therefore w8a8 quantized serving — exists only for these; v6 is the
+# designed-features-only MLP ablation and "vit" is the ScaleEmbedTransformer
+# adapter. Shared with models.s2former.build_model so the quantize no-op
+# warning can never drift from the actual model dispatch.
+CROSS_SCALE_BLOCK_VARIANTS = frozenset({"v1", "v2", "v3", "v4", "v5"})
+KNOWN_VARIANTS = frozenset(CROSS_SCALE_BLOCK_VARIANTS | {"v6", "vit"})
+
 
 @dataclass(frozen=True)
 class ModelConfig:
@@ -68,7 +77,8 @@ class ModelConfig:
             )
         if self.quantize and (
             not self.fused_block or not self.fused_attention
-            or self.exact_gelu or self.variant in ("vit", "v6")
+            or self.exact_gelu
+            or self.variant not in CROSS_SCALE_BLOCK_VARIANTS
             or self.drop_ratio or self.attn_drop_ratio
             or self.drop_path_ratio
         ):

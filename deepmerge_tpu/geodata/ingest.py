@@ -94,7 +94,9 @@ def load_scene(
     # Point geometry reads through the vectorized fixed-stride parser.
     polys = ShapefileTable.read(polygon_path, with_geometry=False)
     pts = ShapefileTable.read(points_path, with_geometry=False)
-    coords = read_point_coords(points_path)
+    # deletion-flagged records may carry null shapes (OGR filters them before
+    # they are ever seen); only live records must have real point geometry
+    coords = read_point_coords(points_path, deleted_mask=pts.deleted_mask)
     if pts.deleted_mask is not None:
         coords = coords[~pts.deleted_mask]
 

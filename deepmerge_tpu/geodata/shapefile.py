@@ -181,19 +181,29 @@ def _read_shp(path: str) -> tuple[int, list[Shape]]:
     return shape_type, shapes
 
 
+def _check_shp_header(path: str, data: bytes) -> None:
+    if len(data) < 100:
+        raise ValueError(
+            f"{path}: truncated shapefile header ({len(data)} bytes < 100)"
+        )
+    code, = struct.unpack(">i", data[0:4])
+    if code != 9994:
+        raise ValueError(f"{path}: not a shapefile (code {code})")
+
+
 def _read_shp_header(path: str) -> tuple[int, int, tuple[float, ...]]:
     """(base_shape_type, raw_shape_type, header ranges) — header only."""
     with open(path, "rb") as f:
         data = f.read(100)
-    code, = struct.unpack(">i", data[0:4])
-    if code != 9994:
-        raise ValueError(f"{path}: not a shapefile (code {code})")
+    _check_shp_header(path, data)
     raw_type, = struct.unpack("<i", data[32:36])
     ranges = struct.unpack("<8d", data[36:100])
     return _ZM_TO_BASE.get(raw_type, raw_type), raw_type, ranges
 
 
-def read_point_coords(path: str) -> np.ndarray:
+def read_point_coords(
+    path: str, deleted_mask: np.ndarray | None = None
+) -> np.ndarray:
     """(N, 2) x/y of every record in a POINT-family .shp — vectorized.
 
     Point layers have uniform record sizes (Point 28, PointZ/M larger with
@@ -201,13 +211,15 @@ def read_point_coords(path: str) -> np.ndarray:
     one strided view instead of a 64k-iteration Python loop (the ingest
     hot path — BENCH.md serving section). Falls back to the general
     record walk for mixed/null-shape files, raising the same null-shape
-    error the slow path's consumers do.
+    error the slow path's consumers do. ``deleted_mask`` (the sibling
+    .dbf's deleted-record flags, same record order) downgrades null shapes
+    on deletion-flagged records to zero-filled coords — such records are
+    dropped downstream, matching OGR which never surfaces them at all —
+    while keeping the loud error for live records.
     """
     with open(path, "rb") as f:
         data = f.read()
-    code, = struct.unpack(">i", data[0:4])
-    if code != 9994:
-        raise ValueError(f"{path}: not a shapefile (code {code})")
+    _check_shp_header(path, data)
     raw_type, = struct.unpack("<i", data[32:36])
     if _ZM_TO_BASE.get(raw_type, raw_type) != SHP_POINT:
         raise ValueError(f"{path}: not a point layer (type {raw_type})")
@@ -220,27 +232,41 @@ def read_point_coords(path: str) -> np.ndarray:
         if rem == 0 and n > 0:
             # per-record shape type sits 8 bytes into each record
             tview = np.ndarray((n,), "<i4", data, 108, (stride,))
-            if (tview == raw_type).all():
-                xs = np.ndarray((n,), "<f8", data, 112, (stride,))
-                ys = np.ndarray((n,), "<f8", data, 120, (stride,))
+            is_null = tview == 0
+            if (is_null | (tview == raw_type)).all():
+                _check_null_shapes(path, is_null, deleted_mask)
+                xs = np.ndarray((n,), "<f8", data, 112, (stride,)).copy()
+                ys = np.ndarray((n,), "<f8", data, 120, (stride,)).copy()
+                xs[is_null] = 0.0
+                ys[is_null] = 0.0
                 return np.stack([xs, ys], axis=1).astype(np.float64)
-            if (tview == 0).any():
-                i = int(np.argmax(tview == 0))
-                raise ValueError(
-                    f"{path}: point record {i} is a null shape (no "
-                    f"geometry) — repack the layer or remove the record"
-                )
     # mixed record sizes (rare): general walk
     _, shapes, _, _ = _read_shp_full(path)
     out = np.zeros((len(shapes), 2), np.float64)
+    is_null = np.asarray([len(s.points) == 0 for s in shapes], bool)
+    _check_null_shapes(path, is_null, deleted_mask)
     for i, s in enumerate(shapes):
-        if len(s.points) == 0:
-            raise ValueError(
-                f"{path}: point record {i} is a null shape (no geometry) "
-                f"— repack the layer or remove the record"
-            )
-        out[i] = s.points[0]
+        if not is_null[i]:
+            out[i] = s.points[0]
     return out
+
+
+def _check_null_shapes(
+    path: str, is_null: np.ndarray, deleted_mask: np.ndarray | None
+) -> None:
+    """Raise on null shapes attached to LIVE records; deletion-flagged ones
+    are tolerated (their coords are zero-filled and filtered downstream)."""
+    if not is_null.any():
+        return
+    live_null = is_null
+    if deleted_mask is not None and len(deleted_mask) == len(is_null):
+        live_null = is_null & ~np.asarray(deleted_mask, bool)
+    if live_null.any():
+        i = int(np.argmax(live_null))
+        raise ValueError(
+            f"{path}: point record {i} is a null shape (no geometry) — "
+            f"repack the layer or remove the record"
+        )
 
 
 def _read_shp_full(

@@ -37,6 +37,9 @@ class FeatureStore:
         self.path = path
         self.dataset_name = dataset_name
         self._chunks: list[np.ndarray] = []
+        # cumulative row offsets of the in-memory chunks ([0, n0, n0+n1, ...])
+        # so get_by_id is O(log #chunks), not an O(N) concatenate per lookup
+        self._offsets: list[int] = [0]
         self._h5 = None
         if path is not None:
             if not _HAS_H5PY:
@@ -56,7 +59,9 @@ class FeatureStore:
                 ds.resize((old + data.shape[0],) + data.shape[1:])
                 ds[old:] = data
         else:
-            self._chunks.append(np.asarray(data))
+            data = np.asarray(data)
+            self._chunks.append(data)
+            self._offsets.append(self._offsets[-1] + data.shape[0])
 
     def read_all(self) -> np.ndarray:
         if self._h5 is not None:
@@ -67,7 +72,14 @@ class FeatureStore:
         """Random access by point FID (``GetFeaturesByID``, ref :109-112)."""
         if self._h5 is not None:
             return np.asarray(self._h5[self.dataset_name][idx])
-        return self.read_all()[idx]
+        import bisect
+
+        n = self._offsets[-1]
+        i = idx + n if idx < 0 else idx
+        if not 0 <= i < n:
+            raise IndexError(f"index {idx} out of range for store of {n}")
+        c = bisect.bisect_right(self._offsets, i) - 1
+        return self._chunks[c][i - self._offsets[c]]
 
     def close(self) -> None:
         if self._h5 is not None:

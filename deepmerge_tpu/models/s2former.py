@@ -754,6 +754,15 @@ def build_model(cfg: ModelConfig):
         from deepmerge_tpu.models.vit import ScaleEmbedBackbone
 
         return ScaleEmbedBackbone(cfg)
+    from deepmerge_tpu.config import KNOWN_VARIANTS
+
+    if cfg.variant not in KNOWN_VARIANTS:
+        raise ValueError(
+            f"unknown model.variant {cfg.variant!r} "
+            f"(known: {sorted(KNOWN_VARIANTS)}) — when adding a variant, "
+            "also add it to config.CROSS_SCALE_BLOCK_VARIANTS if its "
+            "backbone uses CrossScaleBlocks (megakernel/quantize eligibility)"
+        )
     if cfg.variant == "v1":
         assert cfg.n_scales == 4, "v1 uses 4 fixed scales (ref :454-457)"
     return S2Former(cfg)

@@ -922,6 +922,65 @@ def test_read_point_coords_null_shape_raises(tmp_path):
         read_point_coords(str(m))
 
 
+def test_read_point_coords_null_shape_on_deleted_record_ok(tmp_path):
+    """A null shape is tolerated when its record is deletion-flagged in the
+    dbf (OGR filters deleted records before geometry is ever surfaced); the
+    loud error stays for null shapes on live records."""
+    import struct
+
+    from deepmerge_tpu.geodata.shapefile import read_point_coords
+
+    def layer(recs):
+        body = b""
+        for i, rec in enumerate(recs):
+            body += struct.pack(">ii", i + 1, len(rec) // 2) + rec
+        return (
+            struct.pack(">i", 9994) + b"\0" * 20
+            + struct.pack(">i", (100 + len(body)) // 2)
+            + struct.pack("<ii", 1000, 1) + struct.pack("<8d", *([0.0] * 8))
+            + body
+        )
+
+    point = struct.pack("<idd", 1, 1.0, 2.0)
+    null = struct.pack("<i", 0)
+    null_padded = struct.pack("<idd", 0, 7.0, 7.0)
+    deleted = np.array([False, True, False])
+
+    # uniform-stride fast path: null coords come back zero-filled
+    u = tmp_path / "u.shp"
+    u.write_bytes(layer([point, null_padded, point]))
+    coords = read_point_coords(str(u), deleted_mask=deleted)
+    np.testing.assert_array_equal(
+        coords, [[1.0, 2.0], [0.0, 0.0], [1.0, 2.0]]
+    )
+    np.testing.assert_array_equal(coords[~deleted], [[1.0, 2.0], [1.0, 2.0]])
+
+    # mixed-size general walk: same behavior
+    m = tmp_path / "m.shp"
+    m.write_bytes(layer([point, null, point]))
+    coords = read_point_coords(str(m), deleted_mask=deleted)
+    np.testing.assert_array_equal(coords[~deleted], [[1.0, 2.0], [1.0, 2.0]])
+
+    # the null on a LIVE record still raises, mask or not
+    with pytest.raises(ValueError, match="null shape"):
+        read_point_coords(str(m), deleted_mask=np.array([True, False, False]))
+
+
+def test_truncated_shp_header_raises(tmp_path):
+    """A <100-byte .shp gives the descriptive error, not a struct.error."""
+    from deepmerge_tpu.geodata.shapefile import (
+        _read_shp_header,
+        read_point_coords,
+    )
+
+    p = tmp_path / "t.shp"
+    p.write_bytes(b"\x00\x00\x27\x0a" + b"\0" * 20)  # valid magic, cut short
+    with pytest.raises(ValueError, match="truncated shapefile header"):
+        _read_shp_header(str(p))
+    with pytest.raises(ValueError, match="truncated shapefile header"):
+        read_point_coords(str(p))
+
+
 def test_attribute_only_read_deleted_mask_realigns_coords(tmp_path, rng):
     """load_scene reads attributes and geometry separately; the deleted_mask
     left by read() must realign read_point_coords with the filtered records

@@ -6,6 +6,7 @@ layer runs with zero geodata dependencies and produces a merged label map.
 
 import jax
 import numpy as np
+import pytest
 
 from deepmerge_tpu.config import Config
 from deepmerge_tpu.geodata.synthetic import generate_scene, make_training_pairs
@@ -59,6 +60,23 @@ def test_end_to_end_slice(tiny_model_cfg, tiny_data_cfg):
     label_map = result.label_map(scene)
     assert label_map.shape == scene.labels.shape
     assert label_map.max() == result.num_clusters - 1
+
+
+def test_in_memory_store_random_access():
+    """get_by_id on a multi-chunk in-memory store indexes the right chunk
+    (chunk-offset bisect, no per-lookup concatenate) incl. negative ids."""
+    store = FeatureStore()
+    r = np.random.RandomState(0)
+    chunks = [r.rand(n, 4).astype(np.float32) for n in (3, 1, 5, 2)]
+    for c in chunks:
+        store.append(c)
+    ref = np.concatenate(chunks, axis=0)
+    for i in range(len(ref)):
+        np.testing.assert_array_equal(store.get_by_id(i), ref[i])
+    np.testing.assert_array_equal(store.get_by_id(-1), ref[-1])
+    with pytest.raises(IndexError):
+        store.get_by_id(len(ref))
+    np.testing.assert_array_equal(store.read_all(), ref)
 
 
 def test_extract_batch_padding(tiny_model_cfg, tiny_data_cfg):
