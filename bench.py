@@ -140,12 +140,18 @@ def train_bench():
     from deepmerge_tpu.train.loop import create_train_state, make_scanned_epoch
     from deepmerge_tpu.train.sampler import FusedPairSampler
 
+    from deepmerge_tpu.config import TrainConfig
+
     epochs = int(os.environ["BENCH_TRAIN"])
     cfg = Config(
         model=ModelConfig(dtype="bfloat16",
                           variant=os.environ.get("BENCH_MODEL", "v3")),
         data=DataConfig(max_window=512, batch_size=int(
             os.environ.get("BENCH_BATCH", 120))),
+        # BENCH_TRAIN_FUSED=0 A/Bs the XLA block path against the
+        # megakernel + saved-activation VJP (the round-4 default)
+        train=TrainConfig(fused_block=(
+            os.environ.get("BENCH_TRAIN_FUSED", "1") != "0")),
     )
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
     scene = generate_scene(h=1024, w=1024, n_regions=2048, n_objects=64,
@@ -182,6 +188,97 @@ def train_bench():
         "value": round(total_pairs / dt, 1),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(total_pairs / dt / 607.0, 4),
+    }))
+
+
+def mesh_bench():
+    """BENCH_MESH=N: memory-distributed extract+merge over an N-device mesh.
+
+    Weak scaling of ``extract_and_merge_sharded``: one mosaic whose width
+    grows with N, each device owning a disjoint column strip (+halo) — the
+    per-device workload is constant, so ideal scaling is flat time. Reports
+    combined MPix/s, per-device MPix/s, and weak-scaling efficiency
+    (1-device-mesh time / N-device-mesh time, same per-device work, same
+    process).
+
+    By default N>1 forces an N-virtual-device CPU mesh (this box has one
+    TPU chip): that records correctness + shapes + the collective schedule.
+    On real multi-chip hardware run with BENCH_MESH_PLATFORM=device to use
+    the actual chips — the number is then the v5e-N scaling measurement.
+    """
+    import jax
+
+    N = int(os.environ["BENCH_MESH"])
+    verbose = bool(os.environ.get("BENCH_VERBOSE"))
+
+    from deepmerge_tpu.config import DataConfig, ModelConfig
+    from deepmerge_tpu.geodata.synthetic import generate_scene
+    from deepmerge_tpu.models.s2former import build_model, init_params
+    from deepmerge_tpu.parallel.distributed import extract_and_merge_sharded
+    from deepmerge_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    assert len(devices) >= N, (
+        f"need {N} devices, have {len(devices)} "
+        f"({devices[0].platform}); BENCH_MESH_PLATFORM=cpu gives a virtual "
+        f"mesh"
+    )
+    on_cpu = devices[0].platform == "cpu"
+
+    H = int(os.environ.get("BENCH_SCENE", 2048 if not on_cpu else 512))
+    strip_w = H  # per-device columns: weak scaling
+    density = float(os.environ.get("BENCH_DENSITY", 8192 / 4.194304))
+    mcfg = ModelConfig(
+        dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3"),
+        quantize="" if os.environ.get("BENCH_QUANT") == "0" else "w8a8",
+    )
+    dcfg = DataConfig(max_window=512, eval_batch_size=int(
+        os.environ.get("BENCH_BATCH", 2048)))
+    model = build_model(mcfg)
+    variables = init_params(model, jax.random.key(0), batch=2)
+    bs = dict(variables.get("batch_stats", {})) or None
+
+    def timed_run(n_dev):
+        mesh = make_mesh(n_data=n_dev, n_model=1, devices=devices[:n_dev])
+        w = strip_w * n_dev
+        scene = generate_scene(
+            h=H, w=w, n_regions=max(int(density * H * w / 1e6), 16),
+            n_objects=256, points_per_region=1, seed=0,
+        )
+        kw = dict(threshold=1.0, max_rounds=8, batch_stats=bs)
+        merged = extract_and_merge_sharded(
+            model, variables["params"], scene, dcfg, mesh, **kw)  # compile
+        assert merged.num_clusters >= 1
+        runs = max(1, int(os.environ.get("BENCH_RUNS", 3)))
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            extract_and_merge_sharded(
+                model, variables["params"], scene, dcfg, mesh, **kw)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        if verbose:
+            print(f"[bench] mesh {n_dev}x1: {H}x{w} scene, "
+                  f"{[round(x, 3) for x in times]} -> median {dt:.3f}s "
+                  f"({H * w / 1e6 / dt:.3f} MPix/s)", file=sys.stderr)
+        return dt, H * w / 1e6
+
+    t1, _ = timed_run(1)
+    if N > 1:
+        tN, mpix = timed_run(N)
+    else:
+        tN, mpix = t1, H * strip_w / 1e6
+    eff = t1 / tN  # weak scaling: same per-device work, ideal ratio 1.0
+    baseline = 50.0 / 8.0 * N  # v5e-8 headline, pro-rated to N chips
+    print(json.dumps({
+        "metric": "mesh_segment_and_merge_throughput",
+        "value": round(mpix / tN, 4),
+        "unit": "megapixels/sec",
+        "vs_baseline": round(mpix / tN / baseline, 4),
+        "mesh_devices": N,
+        "platform": devices[0].platform,
+        "per_device_mpix_s": round(mpix / tN / N, 4),
+        "weak_scaling_efficiency": round(eff, 4),
     }))
 
 
@@ -232,12 +329,6 @@ def main():
     # reassembly of the embeddings), not the headline
     stream = int(os.environ.get("BENCH_STREAM", "0"))
 
-    scene = generate_scene(
-        h=H, w=W, n_regions=N_REGIONS, n_objects=256,
-        points_per_region=POINTS_PER_REGION, seed=0,
-    )
-    # streamed mode never stages the whole scene (that's its point)
-    ds = None if stream > 1 else stage_scene(scene, dcfg)
     extractor = FeatureExtractor(
         model, variables["params"],
         batch_stats=dict(variables.get("batch_stats", {})) or None,
@@ -247,26 +338,39 @@ def main():
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
     phases = {}
 
-    edges = scene.rag.edges.astype(np.int32)
-    pad = (-len(edges)) % 2048
-    edge_valid = np.ones(len(edges), bool)
-    if pad:
-        edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
-        edge_valid = np.concatenate([edge_valid, np.zeros(pad, bool)])
-    edges_dev = jnp.asarray(edges)
-    valid_dev = jnp.asarray(edge_valid)
-    pr_dev = jnp.asarray(scene.regions.point_region, jnp.int32)
-    # superpixel region map uploads ONCE per scene (like the staged image);
-    # the merged (H, W) label map is then produced per run on device and
-    # STAYS device-resident for downstream device consumers
-    region_map_dev = jnp.asarray(scene.labels, jnp.int32)
-
     # BENCH_FUSED_MAP=0: A/B the pre-fusion tail (merge program, host sync,
     # then a separate labelmap dispatch + sync) against the default fused
     # single-program single-sync path
     fused_map = os.environ.get("BENCH_FUSED_MAP", "1") != "0"
 
-    def run_once():
+    def prep_scene(n_regions, seed=0):
+        """Generate + stage a scene; returns (run_once, scene, ds, devs)."""
+        scene = generate_scene(
+            h=H, w=W, n_regions=n_regions, n_objects=256,
+            points_per_region=POINTS_PER_REGION, seed=seed,
+        )
+        # streamed mode never stages the whole scene (that's its point)
+        ds = None if stream > 1 else stage_scene(scene, dcfg)
+        edges = scene.rag.edges.astype(np.int32)
+        pad = (-len(edges)) % 2048
+        edge_valid = np.ones(len(edges), bool)
+        if pad:
+            edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+            edge_valid = np.concatenate([edge_valid, np.zeros(pad, bool)])
+        edges_dev = jnp.asarray(edges)
+        valid_dev = jnp.asarray(edge_valid)
+        pr_dev = jnp.asarray(scene.regions.point_region, jnp.int32)
+        # superpixel region map uploads ONCE per scene (like the staged
+        # image); the merged (H, W) label map is then produced per run on
+        # device and STAYS device-resident for downstream device consumers
+        region_map_dev = jnp.asarray(scene.labels, jnp.int32)
+        return scene, ds, edges_dev, valid_dev, pr_dev, region_map_dev
+
+    scene, ds, edges_dev, valid_dev, pr_dev, region_map_dev = (
+        prep_scene(N_REGIONS)
+    )
+
+    def run_scene(scene, ds, edges_dev, valid_dev, pr_dev, region_map_dev):
         # the whole pipeline — gather, resize, forward, pool, score,
         # threshold, merge, dense (H, W) labelmap — is ONE device program
         # with ONE host sync. The TIMED path is identical with and without
@@ -302,6 +406,10 @@ def main():
         rounds = int(rounds)  # sync: the merge finished
         int(n_clusters)  # sync; the (H, W) map stays on device
         return rounds
+
+    def run_once():
+        return run_scene(scene, ds, edges_dev, valid_dev, pr_dev,
+                         region_map_dev)
 
     def attribution_pass():
         """Two-dispatch phase attribution (NOT the timed path). Syncs by
@@ -359,18 +467,62 @@ def main():
     mpix = H * W / 1e6
     mpix_per_s = mpix / dt
     baseline_per_chip = 50.0 / 8.0
-    print(json.dumps({
+
+    # density curve: the workload cost is ~linear in regions/MPix (20.2
+    # GFLOP/region, ROOFLINE.md §5), so the headline's 2k/MPix density is
+    # the knob that decides whether the 6.25 MPix/s/chip north star is met.
+    # Measure 500/1000/2000 regions/MPix alongside the headline so the
+    # bench ARTIFACT records the curve, not just one operating point.
+    # BENCH_CURVE=0 skips (quick iteration); auto-skipped in streamed mode
+    # and when BENCH_DENSITY is set (manual sweep in progress).
+    curve = {}
+    if (os.environ.get("BENCH_CURVE", "1") != "0" and stream <= 1
+            and "BENCH_DENSITY" not in os.environ):
+        for dens in (500, 1000, 2000):
+            ctx = prep_scene(max(int(dens * H * W / 1e6), 16))
+            run_scene(*ctx)  # warmup / compile
+            ctimes = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_scene(*ctx)
+                ctimes.append(time.perf_counter() - t0)
+            curve[str(dens)] = round(mpix / float(np.median(ctimes)), 4)
+            if verbose:
+                print(f"[bench] density {dens}/MPix: "
+                      f"{curve[str(dens)]} MPix/s/chip "
+                      f"({[round(x, 4) for x in ctimes]})", file=sys.stderr)
+
+    out = {
         "metric": "end_to_end_segment_and_merge_throughput",
         "value": round(mpix_per_s, 4),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mpix_per_s / baseline_per_chip, 4),
-    }))
+    }
+    if curve:
+        out["density_curve"] = curve
+        out["density_curve_unit"] = "megapixels/sec/chip at N regions/MPix"
+    print(json.dumps(out))
     # secondary detail on stderr-safe extra lines? keep stdout to ONE line.
     return result
 
 
 if __name__ == "__main__":
-    if int(os.environ.get("BENCH_SERVE", "0")) > 0:
+    if int(os.environ.get("BENCH_MESH", "0")) > 0:
+        # virtual CPU mesh unless explicitly pointed at real devices; the
+        # platform/flag forcing must happen BEFORE the first backend query
+        # (the axon plugin force-sets jax_platforms at import, CLAUDE.md)
+        _n = int(os.environ["BENCH_MESH"])
+        if os.environ.get("BENCH_MESH_PLATFORM", "cpu") == "cpu" and _n > 1:
+            _f = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in _f:
+                os.environ["XLA_FLAGS"] = (
+                    _f + f" --xla_force_host_platform_device_count={_n}"
+                ).strip()
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        mesh_bench()
+    elif int(os.environ.get("BENCH_SERVE", "0")) > 0:
         serve_bench()
     elif int(os.environ.get("BENCH_TRAIN", "0")) > 0:
         train_bench()
