@@ -90,7 +90,7 @@ def main(argv=None):
     p_ex.add_argument("--out-labels", help="write merged label map GeoTIFF here")
     p_ex.add_argument("--out-png", help="write colorized merged map PNG here")
     p_ex.add_argument(
-        "--deep-pixels", choices=("error", "shift", "clip"), default="error",
+        "--deep-pixels", choices=("error", "wrap", "shift", "clip"), default="error",
         help="handling for >8-bit rasters (uint16 etc.): refuse, drop low "
         "bits, or clamp",
     )
@@ -117,7 +117,7 @@ def main(argv=None):
         "(data-axis shard_map extraction; exact psum/pmin collective merge)",
     )
     p_pf.add_argument(
-        "--deep-pixels", choices=("error", "shift", "clip"), default="error",
+        "--deep-pixels", choices=("error", "wrap", "shift", "clip"), default="error",
         help="handling for >8-bit rasters (uint16 etc.)",
     )
     p_pf.add_argument(
@@ -161,7 +161,7 @@ def main(argv=None):
                        help="ground-truth OBJECT map .npy (pixel-level)")
     p_cal.add_argument("--checkpoint-dir")
     p_cal.add_argument(
-        "--deep-pixels", choices=("error", "shift", "clip"), default="error",
+        "--deep-pixels", choices=("error", "wrap", "shift", "clip"), default="error",
         help="handling for >8-bit rasters (uint16 etc.)",
     )
     p_cal.add_argument("overrides", nargs="*", default=[])

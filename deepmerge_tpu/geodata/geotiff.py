@@ -399,17 +399,22 @@ def write_geotiff(
     compression: str | None = None,
     rows_per_strip: int | None = None,
 ) -> None:
-    """Write a striped uint8 GeoTIFF (little-endian).
+    """Write a striped uint8/uint16 GeoTIFF (little-endian).
 
     ``bigtiff=True`` writes the BigTIFF (magic 43, 8-byte offsets) layout —
     required once a mosaic crosses 4 GB, and the common real-world container
     for large remote-sensing scenes. ``compression`` may be ``None`` (one
     uncompressed strip, the historical layout) or ``"deflate"`` (zlib per
     strip, default 256 rows/strip — the GDAL ``COMPRESS=DEFLATE`` shape).
+    uint16 (the common deep-pixel RS dtype) writes BitsPerSample=16 with
+    the same layout.
     """
     if array.ndim == 2:
         array = array[..., None]
-    assert array.dtype == np.uint8, "writer supports uint8"
+    assert array.dtype in (np.uint8, np.uint16), (
+        f"writer supports uint8/uint16, got {array.dtype}"
+    )
+    bits = array.dtype.itemsize * 8
     h, w, c = array.shape
     array = np.ascontiguousarray(array)
 
@@ -458,7 +463,7 @@ def write_geotiff(
         extra_off += len(b)
         return off
 
-    bps_vals = struct.pack(f"<{c}H", *([8] * c))
+    bps_vals = struct.pack(f"<{c}H", *([bits] * c))
     bps_off = add_extra(bps_vals) if len(bps_vals) > inline else None
     scale_off = add_extra(scale)
     tie_off = add_extra(tiepoint)

@@ -52,10 +52,15 @@ def load_scene(
 ) -> Scene:
     """Assemble a Scene from the reference's file layout.
 
-    ``deep_pixels`` controls rasters deeper than 8 bits (the reference was
-    only ever run on uint8 RGB — its ``/255`` normalization,
-    ``MyUtils1.py:215``): ``"error"`` (default) refuses instead of silently
-    wrapping values modulo 256; ``"shift"`` maps the full positive range
+    ``deep_pixels`` controls rasters deeper than 8 bits (the reference's
+    own behavior: ``cut_image`` assigns the GDAL buffer into a
+    ``np.zeros(..., dtype=np.uint8)`` destination, ``MyUtils1.py:189-191``,
+    so ANY deeper dtype is silently truncated modulo 256 before cv2/``/255``
+    ever see it): ``"error"`` (default) refuses instead of silently
+    wrapping; ``"wrap"`` reproduces the reference EXACTLY — a C-style
+    unsafe cast to uint8 (uint16 keeps the LOW byte, negatives wrap) —
+    this is the bit-parity choice for 16-bit imagery, quirk included;
+    ``"shift"`` maps the full positive range
     onto uint8 — integer types drop low bits (uint16 → high byte, the
     standard 16→8-bit downscale; signed types clamp negatives — e.g. the
     -32768 nodata fill — to 0 first and use the positive payload bits),
@@ -65,7 +70,10 @@ def load_scene(
     tif = read_geotiff(image_path)
     arr = tif.array
     if arr.dtype != np.uint8:
-        if deep_pixels == "shift":
+        if deep_pixels == "wrap":
+            # the reference's uint8-buffer assignment (MyUtils1.py:189-191)
+            arr = arr.astype(np.uint8)
+        elif deep_pixels == "shift":
             if arr.dtype.kind in "iu":
                 info = np.iinfo(arr.dtype)
                 if info.min < 0:  # clamp BEFORE widening: negatives
@@ -85,9 +93,10 @@ def load_scene(
             arr = np.clip(arr, 0, 255)
         else:
             raise ValueError(
-                f"{image_path}: {arr.dtype} raster; the pipeline (like the "
-                "reference's /255 normalization) expects uint8 — pass "
-                "deep_pixels='shift' (drop low bits) or 'clip'"
+                f"{image_path}: {arr.dtype} raster; the pipeline stages "
+                "uint8 — pass deep_pixels='wrap' (the reference's exact "
+                "mod-256 truncation, MyUtils1.py:189-191), 'shift' (drop "
+                "low bits) or 'clip'"
             )
     # polygons are consumed attribute-only (designed features + PointID);
     # skipping their vertex parse removes ~40% of ingest time per scene.

@@ -53,7 +53,85 @@ def main():
     # BigTIFF sibling (our writer; PIL cross-reads it in the tests)
     write_geotiff(os.path.join(OUT, "synthetic_big.tif"), scene.image, GT,
                   bigtiff=True)
+
+    deep_pixel_fixtures()
     print("fixture written to", OUT)
+
+
+def deep_pixel_fixtures():
+    """Round-4 additions (VERDICT r3 item 6): deep-pixel and JPEG rasters
+    from the independent producer + a Z-typed point layer in the
+    reference's field layout. Written additively (never overwrites the
+    committed round-2 files)."""
+    import struct
+
+    def save_pil(path, arr, **kw):
+        info = TiffImagePlugin.ImageFileDirectory_v2()
+        info[33550] = (GT[1], -GT[5], 0.0)
+        info.tagtype[33550] = 12  # DOUBLE
+        info[33922] = (0.0, 0.0, 0.0, GT[0], GT[3], 0.0)
+        info.tagtype[33922] = 12
+        Image.fromarray(arr).save(path, tiffinfo=info, **kw)
+
+    # 1. single-band uint16 scene (PIL LZW producer). high byte = the
+    # uint8 gray scene (deep_pixels="shift" recovers it exactly), low
+    # byte = seeded noise (so wrap/clip CANNOT accidentally pass).
+    gray = generate_scene(h=96, w=96, n_regions=12, n_objects=4, seed=43,
+                          channels=1, points_per_region=2, name="deep16")
+    gray.meta["geotransform"] = GT
+    paths = export_scene(gray, OUT)
+    rng = np.random.RandomState(7)
+    img16 = (
+        gray.image[..., 0].astype(np.uint16) << 8
+    ) | rng.randint(0, 256, gray.image.shape[:2]).astype(np.uint16)
+    save_pil(paths["image"], img16, compression="tiff_lzw")
+    np.save(os.path.join(OUT, "deep16_labels.npy"), gray.labels)
+
+    # 2. JPEG-compressed RGB GeoTIFF of the main scene's pixels (PIL
+    # producer; lossy — tests compare our decode against PIL's own)
+    scene = generate_scene(h=96, w=96, n_regions=12, n_objects=4, seed=42,
+                           points_per_region=2)
+    save_pil(os.path.join(OUT, "synthetic_jpeg.tif"), scene.image,
+             compression="jpeg", quality=92)
+
+    # 3. Z-typed PointsGCS sibling: PointZ records (type 11: x, y, z, m
+    # with the OGR "no data" M of -1e38) over the SAME x/y + dbf — the
+    # layout OGR emits for 2.5-D layers (ExtractFeatures.py:182-186
+    # consumes such layers through OGR without ever touching z)
+    from deepmerge_tpu.geodata.shapefile import read_point_coords
+
+    src = os.path.join(OUT, "synthetic", "PointsGCS")
+    dst = os.path.join(OUT, "synthetic", "PointsZ")
+    xy = read_point_coords(src + ".shp")
+    body = b""
+    for i, (x, y) in enumerate(xy):
+        rec = struct.pack("<idddd", 11, float(x), float(y),
+                          100.0 + 0.5 * i, -1e38)
+        body += struct.pack(">ii", i + 1, len(rec) // 2) + rec
+    ranges = (float(xy[:, 0].min()), float(xy[:, 1].min()),
+              float(xy[:, 0].max()), float(xy[:, 1].max()),
+              100.0, 100.0 + 0.5 * (len(xy) - 1), 0.0, 0.0)
+    hdr = (
+        struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, (100 + len(body)) // 2)
+        + struct.pack("<ii", 1000, 11) + struct.pack("<8d", *ranges)
+    )
+    with open(dst + ".shp", "wb") as f:
+        f.write(hdr + body)
+    shx_body = b""
+    off = 100
+    for i in range(len(xy)):
+        rec_len = 4 + 4 * 8
+        shx_body += struct.pack(">ii", off // 2, rec_len // 2)
+        off += 8 + rec_len
+    with open(dst + ".shx", "wb") as f:
+        f.write(
+            struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0,
+                        (100 + len(shx_body)) // 2)
+            + struct.pack("<ii", 1000, 11) + struct.pack("<8d", *ranges)
+            + shx_body
+        )
+    with open(src + ".dbf", "rb") as f, open(dst + ".dbf", "wb") as g:
+        g.write(f.read())
 
 
 if __name__ == "__main__":

@@ -1022,3 +1022,30 @@ def test_attribute_only_table_save_rejected(tmp_path, rng):
     t = ShapefileTable.read(path, with_geometry=False)
     with pytest.raises(ValueError, match="attribute-only"):
         t.save(str(tmp_path / "out.shp"))
+
+
+def test_geotiff_uint16_roundtrip_and_pil_cross_read(tmp_path, rng):
+    """uint16 writer: our reader + an independent consumer (PIL) agree."""
+    img = (rng.rand(23, 31, 3) * 65535).astype(np.uint16)
+    gt = (500000.0, 0.5, 0.0, 4100000.0, 0.0, -0.5)
+    path = str(tmp_path / "deep.tif")
+    write_geotiff(path, img, gt)
+    r = read_geotiff(path)
+    assert r.array.dtype == np.uint16
+    np.testing.assert_array_equal(r.array, img)
+    np.testing.assert_allclose(r.geotransform, gt, rtol=1e-12)
+
+    # PIL reads single-band 16-bit TIFFs (mode I;16) — cross-check layout
+    gray = (rng.rand(17, 19) * 65535).astype(np.uint16)
+    gpath = str(tmp_path / "deep_gray.tif")
+    write_geotiff(gpath, gray, gt)
+    PIL = pytest.importorskip("PIL.Image")
+    with PIL.open(gpath) as im:
+        np.testing.assert_array_equal(np.asarray(im), gray)
+
+
+def test_geotiff_uint16_deflate_strips(tmp_path, rng):
+    img = (rng.rand(40, 22, 3) * 65535).astype(np.uint16)
+    path = str(tmp_path / "deep_z.tif")
+    write_geotiff(path, img, compression="deflate", rows_per_strip=16)
+    np.testing.assert_array_equal(read_geotiff(path).array, img)

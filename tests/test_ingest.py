@@ -527,3 +527,57 @@ def test_process_folder_device_engine_async_finalize(tmp_path):
     np.testing.assert_allclose(
         np.asarray(walked.get_field("simi"), np.float64),
         np.round(simi_s.astype(np.float64), 6), atol=5e-7)
+
+
+def test_uint16_scene_extract_and_merge_parity(tmp_path, tiny_model_cfg,
+                                               tiny_data_cfg):
+    """A uint16 scene through the FULL pipeline == its mod-256 uint8 twin.
+
+    The reference truncates deep rasters into its uint8 window buffer
+    (``MyUtils1.py:189-191``, pinned verbatim in
+    ``tests/test_verbatim_data_oracle.py::test_uint16_wrap_verbatim_parity``);
+    here ``deep_pixels="wrap"`` rides load_scene → stage → extract → score →
+    merge and must match the uint8 scene bit-for-bit at every stage.
+    """
+    import jax
+
+    from deepmerge_tpu.geodata.geotiff import write_geotiff
+    from deepmerge_tpu.infer.extract import FeatureExtractor
+    from deepmerge_tpu.infer.merge import merge_scene
+    from deepmerge_tpu.infer.scoring import score_scene_edges
+    from deepmerge_tpu.models.s2former import build_model, init_params
+
+    scene = generate_scene(h=96, w=96, n_regions=12, n_objects=4, seed=9,
+                           name="deep")
+    paths = export_scene(scene, str(tmp_path))
+
+    # uint16 twin: low byte = the uint8 image, high byte varies per pixel
+    # (so shift/clip would give DIFFERENT pixels — only wrap passes)
+    rng = np.random.RandomState(3)
+    hi = rng.randint(0, 256, scene.image.shape).astype(np.uint16)
+    img16 = scene.image.astype(np.uint16) + 256 * hi
+    p16 = str(tmp_path / "deep16.tif")
+    write_geotiff(p16, img16,
+                  scene.meta.get("geotransform",
+                                 (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
+
+    s8 = load_scene(paths["image"], paths["polygons"], paths["points"],
+                    paths["lines"], labels=scene.labels)
+    s16 = load_scene(p16, paths["polygons"], paths["points"],
+                     paths["lines"], labels=scene.labels,
+                     deep_pixels="wrap")
+    np.testing.assert_array_equal(s16.image, s8.image)
+
+    model = build_model(tiny_model_cfg)
+    variables = init_params(model, jax.random.key(0))
+    ex = FeatureExtractor(model, variables["params"], batch_size=16)
+    e8 = ex.extract_scene(s8, tiny_data_cfg)
+    e16 = ex.extract_scene(s16, tiny_data_cfg)
+    np.testing.assert_array_equal(np.asarray(e16), np.asarray(e8))
+
+    simi = score_scene_edges(s16, np.asarray(e16))
+    r = merge_scene(s16, np.asarray(e16),
+                    threshold=float(np.median(simi)), max_rounds=4)
+    r8 = merge_scene(s8, np.asarray(e8),
+                     threshold=float(np.median(simi)), max_rounds=4)
+    np.testing.assert_array_equal(r.region_to_cluster, r8.region_to_cluster)

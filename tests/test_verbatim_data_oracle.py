@@ -217,3 +217,39 @@ def test_clamped_window_matches_reference_at_cap():
         stage_scene(scene, DataConfig(patch_sizes=PATCH_SIZES,
                                       max_window=max_window))
     assert any("clamped" in str(x.message) for x in w)
+
+
+def test_uint16_wrap_verbatim_parity():
+    """uint16 imagery through the REFERENCE pipeline, verbatim.
+
+    ``cut_image`` assigns the GDAL buffer into a ``np.zeros(...,
+    dtype=np.uint8)`` destination (``MyUtils1.py:189-191``), so deeper
+    dtypes truncate modulo 256 before cv2/``/255`` ever run. Our
+    ``deep_pixels="wrap"`` reproduces exactly that; this pins it against
+    the reference's own code running on a genuine uint16 raster.
+    """
+    rng = np.random.RandomState(7)
+    # full 16-bit range: high bytes differ per pixel so a wrong policy
+    # (shift/clip) CANNOT pass this test
+    image16 = (rng.rand(120, 140, 3) * 65535).astype(np.uint16)
+    img_ds = FakeRasterDataset(image16, GT)
+    ref_ds = _ref_pair_dataset()
+
+    wrapped = image16.astype(np.uint8)  # deep_pixels="wrap" semantics
+    assert wrapped.max() > 0 and not np.array_equal(
+        wrapped, np.clip(image16, 0, 255).astype(np.uint8)
+    )
+
+    cases = [(60, 70, 8, 20), (3, 5, 9, 31)]
+    centers = [[y, x] for y, x, _, _ in cases]
+    inner = np.asarray([c[2] for c in cases], np.int32)
+    obj = np.asarray([c[3] for c in cases], np.int32)
+    ours, _, _ = _ours(wrapped, centers, inner, obj)
+
+    for b, (y, x, i_, o_) in enumerate(cases):
+        f, _ = _fake_feature(rng, y, x, i_, o_)
+        _, _, ref_patches = ref_ds.get_all_features(img_ds, f)
+        for slot in range(len(PATCH_SIZES)):
+            ref_p = np.transpose(ref_patches[slot], (1, 2, 0))
+            got = np.asarray(ours[slot][b])
+            assert np.abs(got * 255 - ref_p * 255).max() <= 1.001, (b, slot)
