@@ -68,12 +68,15 @@ class ModelConfig:
     quantize: str = ""                        # "" (bf16) or "w8a8": int8 MXU dots for
                                               # the megakernel's qkv/proj/mlp GEMMs
                                               # (1.44x/block on v5e; inference-only,
-                                              # needs the fused-block path)
+                                              # needs the fused-block path).
+                                              # "w8a8+attn" additionally runs the
+                                              # attention matmuls (q@kT, p@v) int8.
 
     def __post_init__(self):
-        if self.quantize not in ("", "w8a8"):
+        if self.quantize not in ("", "w8a8", "w8a8+attn"):
             raise ValueError(
-                f"model.quantize must be '' or 'w8a8', got {self.quantize!r}"
+                f"model.quantize must be '', 'w8a8' or 'w8a8+attn', "
+                f"got {self.quantize!r}"
             )
         if self.quantize and (
             not self.fused_block or not self.fused_attention
@@ -145,6 +148,10 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     resume: bool = False
+    fused_block: bool = True                  # train through the Pallas
+                                              # megakernel (saved-activation
+                                              # VJP — the round-4 backward;
+                                              # False = the XLA block path)
 
 
 @dataclass(frozen=True)

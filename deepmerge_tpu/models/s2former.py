@@ -294,7 +294,7 @@ class CrossScaleBlock(nn.Module):
     fused: bool = True
     fused_block: bool = False
     exact_gelu: bool = False
-    quantize: bool = False
+    quantize: str = ""  # "", "w8a8", "w8a8+attn" (ModelConfig.quantize)
     block_bt: int = 2
     dtype: Any = jnp.float32
 
@@ -383,11 +383,12 @@ class CrossScaleBlock(nn.Module):
             # at the stage-0 operating point on v5e — BENCH.md round-3).
             # Weights re-quantize per dispatch (XLA ops outside the kernel;
             # ~0.1 ms for the whole model) so the param tree is unchanged.
+            # "+attn" also routes q@kT / p@v through the int8 MXU.
             return fused_block(
                 x.astype(self.dtype), quantize_block_params(params),
                 heads=self.num_heads, exact_gelu=self.exact_gelu,
                 block_b=self.block_bt, interpret=default_interpret(),
-                quant=True,
+                quant=True, quant_attn=self.quantize.endswith("+attn"),
             )
         # VMEM tile size: bt=2 everywhere. Isolated-kernel sweeps prefer
         # bigger tiles for the short stage-1/2 sequences (9.3 vs 11.5ms at
@@ -560,7 +561,7 @@ class S2Former(nn.Module):
                     fused_block=cfg.fused_block,
                     block_bt=cfg.fused_block_bt,
                     exact_gelu=cfg.exact_gelu,
-                    quantize=cfg.quantize == "w8a8",
+                    quantize=cfg.quantize,
                     dtype=dtype, name=f"{tag}_{i}",
                 )
                 for i in range(depth)
@@ -650,7 +651,8 @@ class S2Former(nn.Module):
                 x.astype(self.dtype_), params_list,
                 heads=self.cfg.num_heads, exact_gelu=self.cfg.exact_gelu,
                 block_b=self.cfg.fused_block_bt,
-                interpret=default_interpret(), quant=quant,
+                interpret=default_interpret(), quant=bool(quant),
+                quant_attn=quant.endswith("+attn"),
             )
         for blk in blocks:
             x = blk(x, det)

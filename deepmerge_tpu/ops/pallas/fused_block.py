@@ -14,9 +14,11 @@ attention kernel) at B=2048, N=192, D=768 on v5e: the attention half alone
 residual round-trips and qkv/attention-output HBM traffic — the GEMMs
 themselves were already at MXU peak under XLA.
 
-Differentiable via custom VJP: the backward re-executes the block with
-plain XLA ops (the same economics as the fused-attention VJP — training
-batches are small).
+Differentiable via custom VJP: the TRAIN forward kernel additionally emits
+qkv / normalized softmax probs / pre-GELU / the post-attention residual,
+and the backward (plain XLA ops) consumes them with zero forward recompute
+(``_fused_block_bwd``; the stage-CHAIN variant keeps the round-2 recompute
+VJP — training runs per-block kernels, ``train/loop._training_model``).
 """
 
 from __future__ import annotations
@@ -61,6 +63,56 @@ def _attn_inner(qkv, b32, *, heads: int, dtype):
             preferred_element_type=jnp.float32,
         )
         outs.append(av * recip)
+    return jnp.concatenate(outs, axis=2).astype(dtype)
+
+
+def _attn_inner_q8(qkv, b32, *, heads: int, dtype):
+    """int8-MXU variant of ``_attn_inner``: both attention matmuls run
+    int8×int8→int32.
+
+    q@kᵀ contracts over d, so per-ROW symmetric scales on q and k are
+    separable into the (n, m) logit matrix. For p@v the softmax numerator
+    e = exp(logit − rowmax) lies in (0, 1] with every row max EXACTLY 1, so
+    probs take a FIXED 1/127 scale (no amax pass); v contracts over m, so
+    its scale must be per-COLUMN (per d lane) to stay separable. The
+    softmax denominator is recomputed from the QUANTIZED probs — the output
+    is then an exact convex combination under the quantized weights rather
+    than carrying the quantization as an unnormalized bias.
+    """
+    bt, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    scale = d ** -0.5
+    outs = []
+    for h in range(heads):
+        q = qkv[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        k = qkv[:, :, c + h * d : c + (h + 1) * d].astype(jnp.float32)
+        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d].astype(jnp.float32)
+        qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+        sq = jnp.where(qa > 0, qa / 127.0, 1.0)
+        qi = jnp.clip(jnp.round(q / sq), -127, 127).astype(jnp.int8)
+        ka = jnp.max(jnp.abs(k), axis=-1, keepdims=True)
+        sk = jnp.where(ka > 0, ka / 127.0, 1.0)
+        ki = jnp.clip(jnp.round(k / sk), -127, 127).astype(jnp.int8)
+        logits = lax.dot_general(
+            qi, ki, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        logits = logits * (sq * scale) * jnp.swapaxes(sk, 1, 2) + b32[h][None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        pq = jnp.round(e * 127.0).astype(jnp.int8)  # e ∈ (0, 1]: no clip
+        va = jnp.max(jnp.abs(v), axis=1, keepdims=True)
+        sv = jnp.where(va > 0, va / 127.0, 1.0)
+        vi = jnp.clip(jnp.round(v / sv), -127, 127).astype(jnp.int8)
+        av = lax.dot_general(
+            pq, vi, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        recip = 1.0 / jnp.sum(
+            pq.astype(jnp.float32), axis=-1, keepdims=True
+        )
+        outs.append(av * recip * sv)
     return jnp.concatenate(outs, axis=2).astype(dtype)
 
 
@@ -142,15 +194,18 @@ def _qdot(y, wq, s_col):
 
 
 def _block_math_q8(xi, l1s, l1b, wq, sq, bq, b32, wp, sp, bp, l2s, l2b,
-                   wu, su, bu, wd, sd, bd, *, heads: int, exact_gelu: bool):
+                   wu, su, bu, wd, sd, bd, *, heads: int, exact_gelu: bool,
+                   quant_attn: bool = False):
     """w8a8 variant of ``_block_math``: the four big GEMMs (qkv, proj,
-    mlp-up, mlp-down) run int8×int8→int32; attention stays bf16."""
+    mlp-up, mlp-down) run int8×int8→int32; attention stays bf16 unless
+    ``quant_attn`` routes its two matmuls to the int8 MXU too."""
     bt, n, c = xi.shape
     y = _ln(xi, l1s, l1b).reshape(bt * n, c)  # f32
     qkv = (
         _qdot(y, wq, sq).astype(xi.dtype) + bq
     ).reshape(bt, n, 3 * c)
-    a = _attn_inner(qkv, b32, heads=heads, dtype=xi.dtype)
+    attn = _attn_inner_q8 if quant_attn else _attn_inner
+    a = attn(qkv, b32, heads=heads, dtype=xi.dtype)
     p = (
         _qdot(a.reshape(bt * n, c).astype(jnp.float32), wp, sp)
         .astype(xi.dtype) + bp
@@ -167,6 +222,69 @@ def _block_math_q8(xi, l1s, l1b, wq, sq, bq, b32, wp, sp, bp, l2s, l2b,
     return r + o
 
 
+def _block_math_train(xi, l1s, l1b, wq, bq, b32, wp, bp, l2s, l2b,
+                      wu, bu, wd, bd, *, heads: int, exact_gelu: bool):
+    """``_block_math`` that ALSO returns the backward's residuals.
+
+    Saved per tile (all in x's dtype): qkv, NORMALIZED softmax probs
+    (concatenated per head along lanes), the pre-GELU MLP activation
+    (h1 + b_up) and the post-attention residual r. Together with x these
+    let the backward run with ZERO forward recompute (the LayerNorm
+    normalizations are re-derived from x / r — two cheap VPU reductions —
+    instead of storing two more (bt, n, c) tensors).
+    """
+    bt, n, c = xi.shape
+    d = c // heads
+    scale = d ** -0.5
+    y = _ln(xi, l1s, l1b).astype(xi.dtype).reshape(bt * n, c)
+    qkv = (
+        jnp.dot(y, wq, preferred_element_type=jnp.float32)
+        .astype(xi.dtype) + bq
+    ).reshape(bt, n, 3 * c)
+    outs, ps = [], []
+    for h in range(heads):
+        q = qkv[:, :, h * d : (h + 1) * d] * scale
+        k = qkv[:, :, c + h * d : c + (h + 1) * d]
+        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        logits = lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + b32[h][None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        p = (e * recip).astype(xi.dtype)
+        ps.append(p)
+        av = lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(av.astype(xi.dtype))
+    a = jnp.concatenate(outs, axis=2)
+    p_cat = jnp.concatenate(ps, axis=2)
+    pr = (
+        jnp.dot(a.reshape(bt * n, c), wp,
+                preferred_element_type=jnp.float32).astype(xi.dtype)
+        + bp
+    ).reshape(bt, n, c)
+    r = xi + pr
+    y2 = _ln(r, l2s, l2b).astype(xi.dtype).reshape(bt * n, c)
+    gin = (
+        jnp.dot(y2, wu, preferred_element_type=jnp.float32)
+        + bu.astype(jnp.float32)
+    )
+    act = jax.nn.gelu(gin, approximate=not exact_gelu)
+    o = (
+        jnp.dot(act.astype(xi.dtype), wd,
+                preferred_element_type=jnp.float32).astype(xi.dtype)
+        + bd
+    ).reshape(bt, n, c)
+    return (
+        r + o, qkv, p_cat,
+        gin.reshape(bt, n, wu.shape[1]).astype(xi.dtype), r,
+    )
+
+
 def _block_kernel(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
                   wu, bu, wd, bd, out_ref, *, heads: int, exact_gelu: bool):
     out_ref[...] = _block_math(
@@ -179,17 +297,17 @@ def _block_kernel(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
 
 def _block_kernel_q8(x_ref, l1s, l1b, wq, sq, bq, bias_ref, wp, sp, bp,
                      l2s, l2b, wu, su, bu, wd, sd, bd, out_ref, *,
-                     heads: int, exact_gelu: bool):
+                     heads: int, exact_gelu: bool, quant_attn: bool = False):
     out_ref[...] = _block_math_q8(
         x_ref[...], l1s[...], l1b[...], wq[...], sq[...], bq[...],
         bias_ref[...].astype(jnp.float32), wp[...], sp[...], bp[...],
         l2s[...], l2b[...], wu[...], su[...], bu[...], wd[...], sd[...],
-        bd[...], heads=heads, exact_gelu=exact_gelu,
+        bd[...], heads=heads, exact_gelu=exact_gelu, quant_attn=quant_attn,
     )
 
 
 def _chain_kernel(x_ref, *refs, heads: int, exact_gelu: bool, depth: int,
-                  quant: bool = False):
+                  quant: bool = False, quant_attn: bool = False):
     """``depth`` blocks back-to-back on one VMEM-resident tile: the
     intermediate sequence never touches HBM between blocks (the short
     stage-1/2 sequences pay mostly memory traffic per block under the
@@ -206,7 +324,7 @@ def _chain_kernel(x_ref, *refs, heads: int, exact_gelu: bool, depth: int,
             xi = _block_math_q8(
                 xi, l1s, l1b, wq, sq, bq, bias.astype(jnp.float32),
                 wp, sp, bp, l2s, l2b, wu, su, bu, wd, sd, bd,
-                heads=heads, exact_gelu=exact_gelu,
+                heads=heads, exact_gelu=exact_gelu, quant_attn=quant_attn,
             ).astype(x_ref.dtype)
         else:
             (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = p
@@ -244,11 +362,12 @@ def _xla_block(x, params, heads: int, exact_gelu: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "exact_gelu", "block_b", "interpret", "quant"),
+    static_argnames=("heads", "exact_gelu", "block_b", "interpret", "quant",
+                     "quant_attn"),
 )
 def fused_block(x, params, heads: int, exact_gelu: bool = False,
                 block_b: int = 2, interpret: bool = False,
-                quant: bool = False):
+                quant: bool = False, quant_attn: bool = False):
     """Whole pre-LN transformer block in one Pallas kernel.
 
     Args:
@@ -267,14 +386,91 @@ def fused_block(x, params, heads: int, exact_gelu: bool = False,
         serving path: 26.1 vs 37.5 ms/block on v5e, parity-gated per
         EVAL.md; BENCH.md round-3 int8 section). Inference-only: not
         differentiable.
+      quant_attn: with ``quant``, ALSO run the two attention matmuls
+        (q@kᵀ, p@v) int8 (``_attn_inner_q8``). Separate knob: the
+        attention is numerically the most delicate part, so its
+        quantization is gated on its own parity/quality evidence.
 
-    Returns (B, N, C) in x's dtype. Differentiable (XLA recompute VJP)
-    unless ``quant``.
+    Returns (B, N, C) in x's dtype. Differentiable (saved-activation VJP:
+    the train forward kernel emits the backward's residuals) unless
+    ``quant``.
     """
     if quant:
         return _fused_block_forward(x, params, heads, exact_gelu, block_b,
-                                    interpret, quant=True)
+                                    interpret, quant=True,
+                                    quant_attn=quant_attn)
     return _fused_block_vjp(x, params, heads, exact_gelu, block_b, interpret)
+
+
+def _block_kernel_train(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
+                        wu, bu, wd, bd, out_ref, qkv_ref, p_ref, gin_ref,
+                        r_ref, *, heads: int, exact_gelu: bool):
+    out, qkv, p, gin, r = _block_math_train(
+        x_ref[...], l1s[...], l1b[...], wq[...], bq[...],
+        bias_ref[...].astype(jnp.float32), wp[...], bp[...], l2s[...],
+        l2b[...], wu[...], bu[...], wd[...], bd[...],
+        heads=heads, exact_gelu=exact_gelu,
+    )
+    out_ref[...] = out
+    qkv_ref[...] = qkv
+    p_ref[...] = p
+    gin_ref[...] = gin
+    r_ref[...] = r
+
+
+def _fused_block_train_forward(x, params, heads, exact_gelu, block_b,
+                               interpret):
+    """Megakernel forward that ALSO emits the backward's residuals
+    (qkv, probs, pre-GELU, post-attention residual) — the saved-activation
+    training path (VJP below runs with zero forward recompute)."""
+    b, n, c = x.shape
+    block_b = min(block_b, max(b, 1))
+    pad = (-b) % block_b
+    if pad:
+        x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
+    bp_ = b + pad
+    specs_p, flat_p = _block_param_specs(params, False)
+    hid = params[9].shape[1]  # w_up (c, hidden)
+    tile = lambda width: pl.BlockSpec((block_b, n, width), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    shp = lambda width: jax.ShapeDtypeStruct((bp_, n, width), x.dtype)
+    out, qkv, p, gin, r = pl.pallas_call(
+        functools.partial(_block_kernel_train, heads=heads,
+                          exact_gelu=exact_gelu),
+        grid=(bp_ // block_b,),
+        in_specs=[tile(c), *specs_p],
+        out_specs=(tile(c), tile(3 * c), tile(heads * n), tile(hid),
+                   tile(c)),
+        out_shape=(shp(c), shp(3 * c), shp(heads * n), shp(hid), shp(c)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(x, *flat_p)
+    if pad:
+        out, qkv, p, gin, r = (t[:b] for t in (out, qkv, p, gin, r))
+    return out, (qkv, p, gin, r)
+
+
+def _ln_stats(x, eps=1e-5):
+    m = x.astype(jnp.float32)
+    mu = m.mean(-1, keepdims=True)
+    v = ((m - mu) ** 2).mean(-1, keepdims=True)
+    rs = lax.rsqrt(v + eps)
+    return (m - mu) * rs, rs
+
+
+def _ln_bwd(dy, xhat, rs, scale):
+    """LayerNorm backward from the normalized input (f32 throughout)."""
+    dscale = (dy * xhat).sum((0, 1))
+    dbias = dy.sum((0, 1))
+    dxh = dy * scale
+    dx = rs * (
+        dxh - dxh.mean(-1, keepdims=True)
+        - xhat * (dxh * xhat).mean(-1, keepdims=True)
+    )
+    return dx, dscale, dbias
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -284,17 +480,101 @@ def _fused_block_vjp(x, params, heads, exact_gelu, block_b, interpret):
 
 
 def _fused_block_fwd(x, params, heads, exact_gelu, block_b, interpret):
-    out = _fused_block_forward(x, params, heads, exact_gelu, block_b,
-                               interpret)
-    return out, (x, params)
+    out, saved = _fused_block_train_forward(x, params, heads, exact_gelu,
+                                            block_b, interpret)
+    return out, (x, params, saved)
 
 
 def _fused_block_bwd(heads, exact_gelu, block_b, interpret, res, g):
-    x, params = res
-    _, vjp = jax.vjp(
-        lambda x_, p_: _xla_block(x_, p_, heads, exact_gelu), x, params
+    """Hand-derived block backward over the kernel-saved residuals.
+
+    Replaces the round-2 recompute VJP (which re-executed the whole XLA
+    block: 199.8 vs 169.0 ms/step at batch 120, ``train/loop.py``): every
+    forward GEMM/softmax result the backward needs was already written by
+    ``_fused_block_train_forward``; only the two LayerNorm normalizations
+    and the attention output a = p·v are re-derived (cheap next to the
+    GEMMs they feed).
+    """
+    x, params, (qkv, p_cat, gin, r) = res
+    (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = params
+    b, n, c = x.shape
+    h = heads
+    d = c // h
+    scale = d ** -0.5
+    dt = x.dtype
+    f32 = jnp.float32
+    g32 = g.astype(f32)
+
+    # --- MLP: out = r + gelu(gin) @ wd + bd -------------------------------
+    gin32 = gin.astype(f32)
+    act, gelu_vjp = jax.vjp(
+        lambda t: jax.nn.gelu(t, approximate=not exact_gelu), gin32
     )
-    return vjp(g)
+    gm = act.astype(dt)
+    dwd = jnp.einsum("bnf,bnc->fc", gm, g.astype(dt),
+                     preferred_element_type=f32)
+    dbd = g32.sum((0, 1))
+    dact = jnp.einsum("bnc,fc->bnf", g.astype(dt), wd.astype(dt),
+                      preferred_element_type=f32)
+    dgin = gelu_vjp(dact)[0]
+    dbu = dgin.sum((0, 1))
+    xhat2, rs2 = _ln_stats(r)
+    y2 = (xhat2 * l2s + l2b).astype(dt)
+    dgin_t = dgin.astype(dt)
+    dwu = jnp.einsum("bnc,bnf->cf", y2, dgin_t, preferred_element_type=f32)
+    dy2 = jnp.einsum("bnf,cf->bnc", dgin_t, wu.astype(dt),
+                     preferred_element_type=f32)
+    dr_ln, dl2s, dl2b = _ln_bwd(dy2, xhat2, rs2, l2s)
+    dr = g32 + dr_ln
+
+    # --- proj: r = x + a @ wp + bp ---------------------------------------
+    vh = qkv[:, :, 2 * c :].reshape(b, n, h, d)
+    p = p_cat.reshape(b, n, h, n)
+    a = jnp.einsum("bnhm,bmhd->bnhd", p, vh,
+                   preferred_element_type=f32).astype(dt).reshape(b, n, c)
+    drt = dr.astype(dt)
+    dwp = jnp.einsum("bnc,bnk->ck", a, drt, preferred_element_type=f32)
+    dbp = dr.sum((0, 1))
+    da = jnp.einsum("bnk,ck->bnc", drt, wp.astype(dt),
+                    preferred_element_type=f32).astype(dt).reshape(b, n, h, d)
+
+    # --- attention backward from the SAVED normalized probs --------------
+    qh = qkv[:, :, :c].reshape(b, n, h, d)
+    kh = qkv[:, :, c : 2 * c].reshape(b, n, h, d)
+    dv = jnp.einsum("bnhm,bnhd->bmhd", p, da, preferred_element_type=f32)
+    dp = jnp.einsum("bnhd,bmhd->bnhm", da, vh, preferred_element_type=f32)
+    pf = p.astype(f32)
+    dlog = pf * (dp - (dp * pf).sum(-1, keepdims=True))
+    dbias = dlog.sum(0).transpose(1, 0, 2)  # (n, h, m) -> (h, n, m)
+    dlt = dlog.astype(dt)
+    dq = jnp.einsum("bnhm,bmhd->bnhd", dlt, kh,
+                    preferred_element_type=f32) * scale
+    dk = jnp.einsum("bnhm,bnhd->bmhd", dlt, qh,
+                    preferred_element_type=f32) * scale
+    dqkv = jnp.concatenate(
+        [dq.reshape(b, n, c), dk.reshape(b, n, c), dv.reshape(b, n, c)], -1
+    )
+
+    # --- qkv GEMM + LN1 ----------------------------------------------------
+    xhat1, rs1 = _ln_stats(x)
+    y = (xhat1 * l1s + l1b).astype(dt)
+    dqkv_t = dqkv.astype(dt)
+    dwq = jnp.einsum("bnc,bnk->ck", y, dqkv_t, preferred_element_type=f32)
+    dbq = dqkv.sum((0, 1))
+    dy = jnp.einsum("bnk,ck->bnc", dqkv_t, wq.astype(dt),
+                    preferred_element_type=f32)
+    dx_ln, dl1s, dl1b = _ln_bwd(dy, xhat1, rs1, l1s)
+    dx = (dr + dx_ln).astype(x.dtype)
+
+    dparams = (
+        dl1s.astype(l1s.dtype), dl1b.astype(l1b.dtype),
+        dwq.astype(wq.dtype), dbq.astype(bq.dtype),
+        dbias.astype(bias.dtype), dwp.astype(wp.dtype),
+        dbp.astype(bp.dtype), dl2s.astype(l2s.dtype),
+        dl2b.astype(l2b.dtype), dwu.astype(wu.dtype),
+        dbu.astype(bu.dtype), dwd.astype(wd.dtype), dbd.astype(bd.dtype),
+    )
+    return dx, dparams
 
 
 _fused_block_vjp.defvjp(_fused_block_fwd, _fused_block_bwd)
@@ -308,11 +588,12 @@ def _xla_chain(x, params_list, heads: int, exact_gelu: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "exact_gelu", "block_b", "interpret", "quant"),
+    static_argnames=("heads", "exact_gelu", "block_b", "interpret", "quant",
+                     "quant_attn"),
 )
 def fused_block_chain(x, params_list, heads: int, exact_gelu: bool = False,
                       block_b: int = 2, interpret: bool = False,
-                      quant: bool = False):
+                      quant: bool = False, quant_attn: bool = False):
     """A WHOLE stage — ``depth`` pre-LN blocks — in one Pallas kernel.
 
     Every block's weights are VMEM-resident for the kernel's lifetime and
@@ -337,9 +618,11 @@ def fused_block_chain(x, params_list, heads: int, exact_gelu: bool = False,
     if quant:
         if len(params_list) == 1:
             return _fused_block_forward(x, params_list[0], heads, exact_gelu,
-                                        block_b, interpret, quant=True)
+                                        block_b, interpret, quant=True,
+                                        quant_attn=quant_attn)
         return _fused_chain_forward(x, params_list, heads, exact_gelu,
-                                    block_b, interpret, quant=True)
+                                    block_b, interpret, quant=True,
+                                    quant_attn=quant_attn)
     if len(params_list) == 1:
         return _fused_block_vjp(x, params_list[0], heads, exact_gelu,
                                 block_b, interpret)
@@ -392,7 +675,7 @@ def _block_param_specs(p, quant):
 
 
 def _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
-                         interpret, quant=False):
+                         interpret, quant=False, quant_attn=False):
     b, n, c = x.shape
     depth = len(params_list)
     block_b = min(block_b, max(b, 1))
@@ -410,7 +693,7 @@ def _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
         flat += flat_p
     out = pl.pallas_call(
         functools.partial(_chain_kernel, heads=heads, exact_gelu=exact_gelu,
-                          depth=depth, quant=quant),
+                          depth=depth, quant=quant, quant_attn=quant_attn),
         grid=((b + pad) // block_b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
@@ -426,14 +709,17 @@ def _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
 
 
 def _fused_block_forward(x, params, heads, exact_gelu, block_b, interpret,
-                         quant=False):
+                         quant=False, quant_attn=False):
     b, n, c = x.shape
     block_b = min(block_b, max(b, 1))
     pad = (-b) % block_b
     if pad:
         x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
     specs_p, flat_p = _block_param_specs(params, quant)
-    kern = _block_kernel_q8 if quant else _block_kernel
+    if quant:
+        kern = functools.partial(_block_kernel_q8, quant_attn=quant_attn)
+    else:
+        kern = _block_kernel
     out = pl.pallas_call(
         functools.partial(kern, heads=heads, exact_gelu=exact_gelu),
         grid=((b + pad) // block_b,),

@@ -75,27 +75,29 @@ def create_train_state(
 
 
 
-def _training_model(model: S2Former) -> S2Former:
-    """Disable the whole-block megakernel for TRAINING.
+def _training_model(model: S2Former, use_fused: bool = True) -> S2Former:
+    """Adjust the model config for TRAINING.
 
-    Its custom VJP re-executes the block in the backward (good economics at
-    extraction batch sizes, where the kernel is forward-only); at training
-    batch 120 the recompute costs more than the fused forward saves —
-    measured 199.8 vs 169.0 ms/step on v5e. Same params either way
-    (asserted in tests/test_fused_block.py), so this is purely a speed
-    choice.
+    With ``use_fused`` (``cfg.train.fused_block``, the default) the blocks
+    run as the Pallas megakernel with the round-4 SAVED-ACTIVATION VJP —
+    the forward kernel additionally emits qkv/probs/pre-GELU/residual and
+    the backward consumes them with zero forward recompute
+    (``ops/pallas/fused_block._fused_block_bwd``; this replaced the round-2
+    recompute VJP whose 199.8 vs 169.0 ms/step made training keep the XLA
+    path). Stage-CHAINED kernels still carry a recompute VJP, so chaining
+    is disabled for training either way; quantize is inference-only
+    (non-differentiable) and always cleared.
     """
-    if not model.cfg.fused_block:
-        return model
     import dataclasses
 
     from deepmerge_tpu.models.s2former import build_model
 
-    # quantize rides the megakernel (inference-only, non-differentiable) —
-    # clear it alongside fused_block so training always runs bf16
-    return build_model(
-        dataclasses.replace(model.cfg, fused_block=False, quantize="")
+    cfg = model.cfg
+    want = dataclasses.replace(
+        cfg, fused_block=cfg.fused_block and use_fused, quantize="",
+        fused_stage_chain=False, chain_stage0=False,
     )
+    return model if want == cfg else build_model(want)
 
 
 def _siamese_forward_loss(model, params, batch_stats, patches, designed,
@@ -148,7 +150,7 @@ def make_train_step(
     ``aux_weights`` enables v4/v5 deep supervision (the reference keeps the
     weighted aux sum commented out at ``Train_SMT.py:285-288``; default off).
     """
-    model = _training_model(model)
+    model = _training_model(model, cfg.train.fused_block)
     margin = cfg.train.margin
 
     def loss_fn(params, batch_stats, batch, dropout_rng):
@@ -258,7 +260,7 @@ def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
     program. On dispatch-heavy platforms this removes the per-step data
     round-trips that otherwise dominate the epoch (measured ~6x).
     """
-    model = _training_model(model)
+    model = _training_model(model, cfg.train.fused_block)
     loss_fn = _make_extracting_loss_fn(model, cfg, device_scene, aux_weights)
 
     @jax.jit
@@ -292,7 +294,7 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
     (state, losses)`` with ``arrays`` from
     ``FusedPairSampler.epoch_arrays``.
     """
-    model = _training_model(model)
+    model = _training_model(model, cfg.train.fused_block)
     loss_fn = _make_extracting_loss_fn(model, cfg, device_scene, aux_weights)
 
     # donate the carried state: params + Adam moments (~600 MB flagship)

@@ -211,3 +211,27 @@ def test_model_fused_block_trains():
     k0 = state.params["blocks0_0"]["attn"]["qkv"]["kernel"]
     k1 = state2.params["blocks0_0"]["attn"]["qkv"]["kernel"]
     assert not np.allclose(np.asarray(k0), np.asarray(k1))
+
+
+@pytest.mark.parametrize("n", [48, 49])  # even + v5-style odd sequence
+def test_saved_activation_vjp_wide_lanes(n):
+    """Round-4 saved-activation backward at multi-tile lane widths (the
+    probs output spans heads*n lanes, the pre-GELU output hid lanes) ==
+    XLA autodiff, for x AND every param."""
+    c, heads, hid = 64, 4, 256
+    params = _params(jax.random.key(20), n, c, heads, hid)
+    x = jax.random.normal(jax.random.key(21), (5, n, c), jnp.float32)
+
+    def loss_f(x, p):
+        return jnp.sum(
+            fused_block(x, p, heads=heads, block_b=2, interpret=True) ** 2
+        )
+
+    def loss_x(x, p):
+        return jnp.sum(_xla_block(x, p, heads, False) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, params)
+    gx = jax.grad(loss_x, argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

@@ -53,11 +53,20 @@ def main():
         out = _fused_block_forward(xx, p, H, False, bt, False, quant=True)
         return jnp.abs(out.astype(jnp.float32)).sum() * 1e-6
 
+    def body_q8a(i, x, *p):
+        xx = x + i.astype(dt) * dt(1e-3)
+        out = _fused_block_forward(xx, p, H, False, bt, False, quant=True,
+                                   quant_attn=True)
+        return jnp.abs(out.astype(jnp.float32)).sum() * 1e-6
+
     ms_b = rep_probe(body_bf16, x, *params, k=4)
-    print(f"bf16 block (bt={bt}): {ms_b:7.2f} ms")
+    print(f"bf16 block      (bt={bt}): {ms_b:7.2f} ms")
     ms_q = rep_probe(body_q8, x, *qp, k=4)
-    print(f"w8a8 block (bt={bt}): {ms_q:7.2f} ms  "
+    print(f"w8a8 block      (bt={bt}): {ms_q:7.2f} ms  "
           f"({ms_b / ms_q:.2f}x vs bf16)")
+    ms_qa = rep_probe(body_q8a, x, *qp, k=4)
+    print(f"w8a8+attn block (bt={bt}): {ms_qa:7.2f} ms  "
+          f"({ms_b / ms_qa:.2f}x vs bf16, {ms_q / ms_qa:.2f}x vs w8a8)")
     for bt2 in (4, 8):
         ms_q2 = rep_probe(
             lambda i, x, *p: jnp.abs(_fused_block_forward(
