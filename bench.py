@@ -148,10 +148,11 @@ def train_bench():
                           variant=os.environ.get("BENCH_MODEL", "v3")),
         data=DataConfig(max_window=512, batch_size=int(
             os.environ.get("BENCH_BATCH", 120))),
-        # BENCH_TRAIN_FUSED=0 A/Bs the XLA block path against the
-        # megakernel + saved-activation VJP (the round-4 default)
+        # BENCH_TRAIN_FUSED=1 A/Bs the megakernel + saved-activation VJP
+        # against the XLA block path (the default — the kernel VJP measured
+        # 208.2 vs 162.8 ms/step on chip, BENCH.md round 4)
         train=TrainConfig(fused_block=(
-            os.environ.get("BENCH_TRAIN_FUSED", "1") != "0")),
+            os.environ.get("BENCH_TRAIN_FUSED", "0") == "1")),
     )
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
     scene = generate_scene(h=1024, w=1024, n_regions=2048, n_objects=64,

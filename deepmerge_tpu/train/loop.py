@@ -78,15 +78,19 @@ def create_train_state(
 def _training_model(model: S2Former, use_fused: bool = True) -> S2Former:
     """Adjust the model config for TRAINING.
 
-    With ``use_fused`` (``cfg.train.fused_block``, the default) the blocks
-    run as the Pallas megakernel with the round-4 SAVED-ACTIVATION VJP —
-    the forward kernel additionally emits qkv/probs/pre-GELU/residual and
-    the backward consumes them with zero forward recompute
-    (``ops/pallas/fused_block._fused_block_bwd``; this replaced the round-2
-    recompute VJP whose 199.8 vs 169.0 ms/step made training keep the XLA
-    path). Stage-CHAINED kernels still carry a recompute VJP, so chaining
-    is disabled for training either way; quantize is inference-only
-    (non-differentiable) and always cleared.
+    With ``use_fused`` (``cfg.train.fused_block``) the blocks run as the
+    Pallas megakernel with the round-4 SAVED-ACTIVATION VJP — the forward
+    kernel additionally emits qkv/probs/pre-GELU/residual and the backward
+    consumes them with zero forward recompute
+    (``ops/pallas/fused_block._fused_block_bwd``). Measured on chip it
+    LOSES to XLA autodiff at the reference batch (208.2 vs 162.8 ms/step
+    at batch 120, BENCH.md round 4 — the residual-emitting forward and the
+    hand-scheduled backward cost more than the skipped recompute returns),
+    so the default is the XLA block path and the kernel VJP stays as a
+    grad-parity-tested experiment (``BENCH_TRAIN_FUSED=1``). Stage-CHAINED
+    kernels carry a recompute VJP, so chaining is disabled for training
+    either way; quantize is inference-only (non-differentiable) and always
+    cleared.
     """
     import dataclasses
 
