@@ -19,6 +19,14 @@ import time
 import numpy as np
 
 
+def _bench_quantize() -> str:
+    """BENCH_QUANT: '0' → bf16, unset/'1' → 'w8a8' (the shipping serving
+    default), any other value is used verbatim as ``model.quantize``
+    (e.g. 'w8a8-static', 'w8a8+attn') for in-situ A/Bs."""
+    v = os.environ.get("BENCH_QUANT", "1")
+    return {"0": "", "1": "w8a8"}.get(v, v)
+
+
 def serve_bench():
     """BENCH_SERVE=K: folder-SERVING throughput over K scenes.
 
@@ -48,7 +56,7 @@ def serve_bench():
     cfg = Config(
         model=ModelConfig(
             dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3"),
-            quantize="" if os.environ.get("BENCH_QUANT") == "0" else "w8a8",
+            quantize=_bench_quantize(),
         ),
         data=DataConfig(max_window=512, eval_batch_size=int(
             os.environ.get("BENCH_BATCH", 2048))),
@@ -231,7 +239,7 @@ def mesh_bench():
     density = float(os.environ.get("BENCH_DENSITY", 8192 / 4.194304))
     mcfg = ModelConfig(
         dtype="bfloat16", variant=os.environ.get("BENCH_MODEL", "v3"),
-        quantize="" if os.environ.get("BENCH_QUANT") == "0" else "w8a8",
+        quantize=_bench_quantize(),
     )
     dcfg = DataConfig(max_window=512, eval_batch_size=int(
         os.environ.get("BENCH_BATCH", 2048)))
@@ -318,7 +326,7 @@ def main():
         # w8a8 int8-MXU serving is the DEFAULT (quality-neutral on the
         # full trained trajectory: EVAL.md round-3 quantized validation,
         # tests/test_quantize.py); BENCH_QUANT=0 A/Bs the bf16 path
-        quantize="" if os.environ.get("BENCH_QUANT") == "0" else "w8a8",
+        quantize=_bench_quantize(),
     )
     dcfg = DataConfig(max_window=512, eval_batch_size=BATCH)
     model = build_model(mcfg)

@@ -71,12 +71,19 @@ class ModelConfig:
                                               # needs the fused-block path).
                                               # "w8a8+attn" additionally runs the
                                               # attention matmuls (q@kT, p@v) int8.
+                                              # "w8a8-static": CALIBRATED static
+                                              # activation scales instead of the
+                                              # per-row dynamic amax chain
+                                              # (FeatureExtractor auto-calibrates
+                                              # on the first batch; scales live in
+                                              # batch_stats like BatchNorm stats).
 
     def __post_init__(self):
-        if self.quantize not in ("", "w8a8", "w8a8+attn"):
+        if self.quantize not in ("", "w8a8", "w8a8+attn", "w8a8-static",
+                                 "w8a8-static+attn"):
             raise ValueError(
-                f"model.quantize must be '', 'w8a8' or 'w8a8+attn', "
-                f"got {self.quantize!r}"
+                f"model.quantize must be '', 'w8a8', 'w8a8+attn', "
+                f"'w8a8-static' or 'w8a8-static+attn', got {self.quantize!r}"
             )
         if self.quantize and (
             not self.fused_block or not self.fused_attention
@@ -148,10 +155,15 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     resume: bool = False
-    fused_block: bool = True                  # train through the Pallas
-                                              # megakernel (saved-activation
-                                              # VJP — the round-4 backward;
-                                              # False = the XLA block path)
+    fused_block: bool = False                 # train through the Pallas
+                                              # megakernel + saved-activation
+                                              # VJP. MEASURED NEGATIVE on v5e
+                                              # at the reference batch (208.2
+                                              # vs 162.8 ms/step, BENCH.md
+                                              # round 4) — XLA autodiff stays
+                                              # the training default; the
+                                              # kernel path remains grad-
+                                              # parity-tested.
 
 
 @dataclass(frozen=True)

@@ -139,6 +139,15 @@ def _strips_for_budget(scene: Scene, caps, xs: np.ndarray, order: np.ndarray,
     )
 
 
+def _tree_has_key(tree, key: str) -> bool:
+    """True if a nested dict/FrozenDict tree contains ``key`` anywhere."""
+    try:
+        items = tree.items()
+    except AttributeError:
+        return False
+    return any(k == key or _tree_has_key(v, key) for k, v in items)
+
+
 class FeatureExtractor:
     """Embeds every sample point of a scene (``extract_features``, ref :45-86).
 
@@ -174,13 +183,17 @@ class FeatureExtractor:
         self.batch_stats = batch_stats or {}
         self.batch_size = batch_size
         self.mesh = mesh
-        has_bs = bool(self.batch_stats)
         mcfg = model.cfg
+        # static-quant serving needs calibrated activation scales in
+        # batch_stats — absent, the FIRST batch of the first scene runs a
+        # one-time calibration forward (amax taps, mutable batch_stats)
+        self._needs_quant_calibration = (
+            str(mcfg.quantize).startswith("w8a8-static")
+            and not _tree_has_key(self.batch_stats, "act_amax")
+        )
 
-        # params are explicit jit arguments (NOT closure constants — that
-        # would bake ~100MB of weights into the HLO)
-        def fused(params, batch_stats, padded, centers, scales, factors, feats,
-                  caps, quantize):
+        def preprocess(padded, centers, scales, factors, feats, caps,
+                       quantize):
             patches = extract_multiscale_patches(
                 padded, centers, scales,
                 patch_sizes=tuple(mcfg.input_image_scales),
@@ -188,11 +201,37 @@ class FeatureExtractor:
                 out_channels=mcfg.in_channels,
                 out_dtype=jnp.dtype(mcfg.dtype),
             )
-            designed = jnp.concatenate([feats, factors], axis=1)
+            return patches, jnp.concatenate([feats, factors], axis=1)
+
+        # params are explicit jit arguments (NOT closure constants — that
+        # would bake ~100MB of weights into the HLO)
+        def fused(params, batch_stats, padded, centers, scales, factors, feats,
+                  caps, quantize):
+            patches, designed = preprocess(
+                padded, centers, scales, factors, feats, caps, quantize
+            )
             variables = {"params": params}
-            if has_bs:
+            if batch_stats:
                 variables["batch_stats"] = batch_stats
             return self.model.apply(variables, patches, designed, False)
+
+        # one-time w8a8-static calibration: same preprocessing, mutable
+        # batch_stats — each CrossScaleBlock records its activation amaxes
+        def calib(params, batch_stats, padded, centers, scales, factors,
+                  feats, caps, quantize):
+            patches, designed = preprocess(
+                padded, centers, scales, factors, feats, caps, quantize
+            )
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            _, upd = self.model.apply(
+                variables, patches, designed, False,
+                mutable=["batch_stats"],
+            )
+            return upd["batch_stats"]
+
+        self._calib = jax.jit(calib, static_argnames=("caps", "quantize"))
 
         if mesh is None:
             self._fused = jax.jit(fused, static_argnames=("caps", "quantize"))
@@ -310,6 +349,31 @@ class FeatureExtractor:
 
             self._fused = fused_sharded
 
+    def _maybe_calibrate(self, padded, centers, scales, factors, feats,
+                         *, caps, quantize):
+        """One-time ``w8a8-static`` calibration on an about-to-be-served
+        batch: a single forward with activation-amax taps populates the
+        per-block static scales in ``batch_stats``; every later dispatch
+        (this scene and the rest of the walk) serves with them. No-op
+        unless static quantization is configured and scales are absent."""
+        if not self._needs_quant_calibration:
+            return
+        import logging
+
+        logging.getLogger(__name__).info(
+            "calibrating w8a8-static activation scales on the first batch"
+        )
+        new_bs = self._calib(
+            self.params, self.batch_stats, padded, centers, scales,
+            factors, feats, caps=caps, quantize=quantize,
+        )
+        if self.mesh is not None:
+            from deepmerge_tpu.parallel.mesh import replicate
+
+            new_bs = replicate(new_bs, self.mesh)
+        self.batch_stats = new_bs
+        self._needs_quant_calibration = False
+
     def _extract_batches(self, scene, cfg, device_scene):
         from deepmerge_tpu.ops.patches import adaptive_scales
 
@@ -327,10 +391,14 @@ class FeatureExtractor:
             scales, factors = adaptive_scales(
                 ds.point_inner[idx], ds.point_object[idx], targets
             )
-            emb = self._fused(
-                self.params, self.batch_stats, ds.padded,
+            args = (
                 jnp.asarray(ds.points_yx[idx]), scales, factors,
                 jnp.asarray(ds.point_features[idx], jnp.float32),
+            )
+            self._maybe_calibrate(ds.padded, *args, caps=ds.caps,
+                                  quantize=cfg.quantize_uint8)
+            emb = self._fused(
+                self.params, self.batch_stats, ds.padded, *args,
                 caps=ds.caps, quantize=cfg.quantize_uint8,
             )
             yield emb[: bs - pad] if pad else emb
@@ -367,6 +435,8 @@ class FeatureExtractor:
             ds = device_scene or stage_scene(scene, cfg)
             chunked = self._chunked_inputs(ds, cfg)
             n, _, args = chunked
+            self._maybe_calibrate(ds.padded, *(a[0] for a in args),
+                                  caps=ds.caps, quantize=cfg.quantize_uint8)
             emb = self._fused_all(
                 self.params, self.batch_stats, ds.padded, *args,
                 caps=ds.caps, quantize=cfg.quantize_uint8,
@@ -523,11 +593,15 @@ class FeatureExtractor:
                 scales, factors = adaptive_scales(
                     inner_all[gi], obj_all[gi], targets
                 )
+                fargs = (
+                    jnp.asarray(centers[idx]), scales, factors,
+                    jnp.asarray(feats_all[gi], jnp.float32),
+                )
+                self._maybe_calibrate(padded, *fargs, caps=caps,
+                                      quantize=cfg.quantize_uint8)
                 emb = np.asarray(
                     self._fused(
-                        self.params, self.batch_stats, padded,
-                        jnp.asarray(centers[idx]), scales, factors,
-                        jnp.asarray(feats_all[gi], jnp.float32),
+                        self.params, self.batch_stats, padded, *fargs,
                         caps=caps, quantize=cfg.quantize_uint8,
                     ),
                     np.float32,
@@ -580,6 +654,8 @@ class FeatureExtractor:
             raise ValueError("segment_scene_device is single-device only")
         ds = device_scene or stage_scene(scene, cfg)
         n, _, args = self._chunked_inputs(ds, cfg)
+        self._maybe_calibrate(ds.padded, *(a[0] for a in args),
+                              caps=ds.caps, quantize=cfg.quantize_uint8)
         # the point→region map uploads once per staged scene (same
         # rationale as _chunked_inputs: repeated runs shouldn't re-pay it)
         pr = getattr(ds, "_point_region_device", None)

@@ -294,7 +294,8 @@ class CrossScaleBlock(nn.Module):
     fused: bool = True
     fused_block: bool = False
     exact_gelu: bool = False
-    quantize: str = ""  # "", "w8a8", "w8a8+attn" (ModelConfig.quantize)
+    quantize: str = ""  # "", "w8a8[+attn]", "w8a8-static[+attn]"
+                        # (ModelConfig.quantize)
     block_bt: int = 2
     dtype: Any = jnp.float32
 
@@ -318,9 +319,13 @@ class CrossScaleBlock(nn.Module):
             # stage-chaining mode: create/bind this block's params (same
             # tree as every other path) and hand the 13-tuple to the caller
             # instead of computing — S2Former._stage feeds all of a stage's
-            # tuples to ONE fused_block_chain kernel.
+            # tuples to ONE fused_block_chain kernel. Static-quant configs
+            # also hand over the block's calibrated activation amaxes.
             assert self.fused_block_eligible
-            return self._collect_fused_params(x)
+            params = self._collect_fused_params(x)
+            if self.quantize.startswith("w8a8-static"):
+                return params, self._quant_act_amax().value
+            return params
         if self.fused_block_eligible:
             return self._fused_block(x)
         dp = DropPath(self.drop_path)
@@ -370,8 +375,30 @@ class CrossScaleBlock(nn.Module):
             f32(l2s), f32(l2b), w(wu), w(bu), w(wd), w(bd),
         )
 
+    def _quant_act_amax(self):
+        """The block's calibrated activation abs-maxes (``w8a8-static``).
+
+        Lives in the ``batch_stats`` collection so it rides the existing
+        non-param variable plumbing (extractor threading, mesh replication,
+        checkpoints) exactly like the v4/v5 BatchNorm statistics.
+        """
+        if not self.has_variable("batch_stats", "act_amax") and (
+            not self.is_mutable_collection("batch_stats")
+        ):
+            raise ValueError(
+                "model.quantize='w8a8-static' needs calibrated activation "
+                "scales: run inference through FeatureExtractor (it "
+                "auto-calibrates on the first batch) or apply the model "
+                "once with mutable=['batch_stats'] to populate "
+                "batch_stats['.../act_amax']"
+            )
+        return self.variable(
+            "batch_stats", "act_amax", lambda: jnp.zeros((7,), jnp.float32)
+        )
+
     def _fused_block(self, x):
         from deepmerge_tpu.ops.pallas.fused_block import (
+            block_act_amax,
             fused_block,
             quantize_block_params,
         )
@@ -384,8 +411,22 @@ class CrossScaleBlock(nn.Module):
             # Weights re-quantize per dispatch (XLA ops outside the kernel;
             # ~0.1 ms for the whole model) so the param tree is unchanged.
             # "+attn" also routes q@kT / p@v through the int8 MXU.
+            act_amax = None
+            if self.quantize.startswith("w8a8-static"):
+                amax_var = self._quant_act_amax()
+                if self.is_mutable_collection("batch_stats"):
+                    # CALIBRATION pass: bf16 XLA forward with amax taps;
+                    # running max across calibration batches.
+                    out, amax = block_act_amax(
+                        x.astype(self.dtype), params,
+                        heads=self.num_heads, exact_gelu=self.exact_gelu,
+                    )
+                    amax_var.value = jnp.maximum(amax_var.value, amax)
+                    return out.astype(self.dtype)
+                act_amax = amax_var.value
             return fused_block(
-                x.astype(self.dtype), quantize_block_params(params),
+                x.astype(self.dtype),
+                quantize_block_params(params, act_amax=act_amax),
                 heads=self.num_heads, exact_gelu=self.exact_gelu,
                 block_b=self.block_bt, interpret=default_interpret(),
                 quant=True, quant_attn=self.quantize.endswith("+attn"),
@@ -628,8 +669,15 @@ class S2Former(nn.Module):
         """Run a stage's blocks — as ONE chained Pallas kernel when eligible
         (all weights VMEM-resident, no inter-block HBM round-trips; sized
         for the short stage-1/2 sequences) else block-by-block."""
+        quant = blocks[0].quantize if blocks else ""
+        calibrating = quant.startswith("w8a8-static") and (
+            self.is_mutable_collection("batch_stats")
+        )
         if (
             chain and len(blocks) > 1 and blocks[0].fused_block_eligible
+            # static-quant CALIBRATION runs block-by-block so each block
+            # records its own activation amaxes (the serving pass chains)
+            and not calibrating
         ):
             from deepmerge_tpu.ops.pallas.fused_block import (
                 fused_block_chain,
@@ -642,8 +690,12 @@ class S2Former(nn.Module):
             params_list = tuple(
                 blk(x, det, return_fused_params=True) for blk in blocks
             )
-            quant = blocks[0].quantize
-            if quant:
+            if quant.startswith("w8a8-static"):
+                params_list = tuple(
+                    quantize_block_params(p, act_amax=a)
+                    for p, a in params_list
+                )
+            elif quant:
                 params_list = tuple(
                     quantize_block_params(p) for p in params_list
                 )

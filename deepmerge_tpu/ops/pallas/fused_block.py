@@ -116,6 +116,49 @@ def _attn_inner_q8(qkv, b32, *, heads: int, dtype):
     return jnp.concatenate(outs, axis=2).astype(dtype)
 
 
+def _attn_inner_q8s(qkv, b32, *, heads: int, dtype, s_q, s_k, s_v):
+    """``_attn_inner_q8`` with CALIBRATED static operand scales.
+
+    The r4 in-situ measurement showed dynamic int8 attention LOSES (37.6
+    vs 26.9 ms/block): the per-head amax chains at d=64 cost more than the
+    int8 dots return. With static scales the quantize step collapses to a
+    scalar multiply + round + clip per operand — no reductions, no
+    row-wise divides. Probs keep the exact fixed-1/127 scheme (softmax
+    numerator rows peak at exactly 1), and the denominator is recomputed
+    from the QUANTIZED probs so the output stays an exact convex
+    combination under the quantized weights.
+    """
+    bt, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    scale = d ** -0.5
+    rq, rk, rv = 1.0 / s_q, 1.0 / s_k, 1.0 / s_v
+    outs = []
+    for h in range(heads):
+        q = qkv[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        k = qkv[:, :, c + h * d : c + (h + 1) * d].astype(jnp.float32)
+        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d].astype(jnp.float32)
+        qi = jnp.clip(jnp.round(q * rq), -127, 127).astype(jnp.int8)
+        ki = jnp.clip(jnp.round(k * rk), -127, 127).astype(jnp.int8)
+        logits = lax.dot_general(
+            qi, ki, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (s_q * s_k * scale) + b32[h][None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        pq = jnp.round(e * 127.0).astype(jnp.int8)  # e ∈ (0, 1]: no clip
+        vi = jnp.clip(jnp.round(v * rv), -127, 127).astype(jnp.int8)
+        av = lax.dot_general(
+            pq, vi, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        recip = 1.0 / jnp.sum(
+            pq.astype(jnp.float32), axis=-1, keepdims=True
+        )
+        outs.append(av * recip * s_v)
+    return jnp.concatenate(outs, axis=2).astype(dtype)
+
+
 def _block_math(xi, l1s, l1b, wq, bq, b32, wp, bp, l2s, l2b,
                 wu, bu, wd, bd, *, heads: int, exact_gelu: bool):
     """One pre-LN block on a VMEM-resident (bt, n, c) tile. All params are
@@ -167,16 +210,31 @@ def quantize_weight(w):
     return q, s
 
 
-def quantize_block_params(params):
-    """Megakernel 13-tuple → w8a8 17-tuple (int8 weights + col scales)."""
+def quantize_block_params(params, act_amax=None):
+    """Megakernel 13-tuple → w8a8 17-tuple (int8 weights + col scales).
+
+    With ``act_amax`` — a (7,) float32 of CALIBRATED activation abs-maxes
+    for the four GEMM inputs (LN1-out, attention-out, LN2-out, post-GELU)
+    plus the three attention operands (q, k, v), see ``block_act_amax`` —
+    an 18th entry of STATIC scales (``amax/127``) is appended and the
+    kernel skips the per-row dynamic amax chain entirely (``_qdot_static``;
+    ``_attn_inner_q8s`` for the attention operands under ``quant_attn``).
+    Out-of-calibration activations saturate at ±127 (symmetric clip), like
+    every static-scale int8 scheme.
+    """
     (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = params
     qq, sq = quantize_weight(wq)
     qp, sp = quantize_weight(wp)
     qu, su = quantize_weight(wu)
     qd, sd = quantize_weight(wd)
-    return (l1s.astype(jnp.float32), l1b.astype(jnp.float32), qq, sq, bq,
-            bias, qp, sp, bp, l2s.astype(jnp.float32),
-            l2b.astype(jnp.float32), qu, su, bu, qd, sd, bd)
+    out = (l1s.astype(jnp.float32), l1b.astype(jnp.float32), qq, sq, bq,
+           bias, qp, sp, bp, l2s.astype(jnp.float32),
+           l2b.astype(jnp.float32), qu, su, bu, qd, sd, bd)
+    if act_amax is None:
+        return out
+    amax = act_amax.astype(jnp.float32)
+    s_act = jnp.where(amax > 0, amax / 127.0, 1.0)
+    return out + (s_act,)
 
 
 def _qdot(y, wq, s_col):
@@ -193,31 +251,60 @@ def _qdot(y, wq, s_col):
     return acc.astype(jnp.float32) * sr * s_col[None, :]
 
 
+def _qdot_static(y, wq, s_col, sr):
+    """``_qdot`` with a CALIBRATED static row scale ``sr`` (f32 scalar).
+
+    Skips the per-row abs-max reduction and the row-wise divide — the
+    quantize step collapses to one scalar-broadcast multiply and the
+    dequant scale folds into the column scales. Values beyond the
+    calibrated range saturate at ±127.
+    """
+    yq = jnp.clip(jnp.round(y * (1.0 / sr)), -127, 127).astype(jnp.int8)
+    acc = lax.dot_general(yq, wq, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (sr * s_col)[None, :]
+
+
 def _block_math_q8(xi, l1s, l1b, wq, sq, bq, b32, wp, sp, bp, l2s, l2b,
                    wu, su, bu, wd, sd, bd, *, heads: int, exact_gelu: bool,
-                   quant_attn: bool = False):
+                   quant_attn: bool = False, s_act=None):
     """w8a8 variant of ``_block_math``: the four big GEMMs (qkv, proj,
     mlp-up, mlp-down) run int8×int8→int32; attention stays bf16 unless
-    ``quant_attn`` routes its two matmuls to the int8 MXU too."""
+    ``quant_attn`` routes its two matmuls to the int8 MXU too.
+
+    ``s_act``: optional 4 STATIC activation scales (scalars, one per GEMM
+    input in order qkv/proj/up/down) — replaces the dynamic per-row amax
+    chain with ``_qdot_static``.
+    """
     bt, n, c = xi.shape
+    if s_act is None:
+        qd = lambda t, w, s, i: _qdot(t, w, s)
+    else:
+        qd = lambda t, w, s, i: _qdot_static(t, w, s, s_act[i])
     y = _ln(xi, l1s, l1b).reshape(bt * n, c)  # f32
     qkv = (
-        _qdot(y, wq, sq).astype(xi.dtype) + bq
+        qd(y, wq, sq, 0).astype(xi.dtype) + bq
     ).reshape(bt, n, 3 * c)
-    attn = _attn_inner_q8 if quant_attn else _attn_inner
+    if quant_attn and s_act is not None:
+        attn = functools.partial(_attn_inner_q8s, s_q=s_act[4],
+                                 s_k=s_act[5], s_v=s_act[6])
+    elif quant_attn:
+        attn = _attn_inner_q8
+    else:
+        attn = _attn_inner
     a = attn(qkv, b32, heads=heads, dtype=xi.dtype)
     p = (
-        _qdot(a.reshape(bt * n, c).astype(jnp.float32), wp, sp)
+        qd(a.reshape(bt * n, c).astype(jnp.float32), wp, sp, 1)
         .astype(xi.dtype) + bp
     ).reshape(bt, n, c)
     r = xi + p
     y2 = _ln(r, l2s, l2b).reshape(bt * n, c)  # f32
     h1 = jax.nn.gelu(
-        _qdot(y2, wu, su) + bu.astype(jnp.float32),
+        qd(y2, wu, su, 2) + bu.astype(jnp.float32),
         approximate=not exact_gelu,
     )
     o = (
-        _qdot(h1, wd, sd).astype(xi.dtype) + bd
+        qd(h1, wd, sd, 3).astype(xi.dtype) + bd
     ).reshape(bt, n, c)
     return r + o
 
@@ -295,36 +382,47 @@ def _block_kernel(x_ref, l1s, l1b, wq, bq, bias_ref, wp, bp, l2s, l2b,
     )
 
 
-def _block_kernel_q8(x_ref, l1s, l1b, wq, sq, bq, bias_ref, wp, sp, bp,
-                     l2s, l2b, wu, su, bu, wd, sd, bd, out_ref, *,
-                     heads: int, exact_gelu: bool, quant_attn: bool = False):
+def _block_kernel_q8(x_ref, *refs, heads: int, exact_gelu: bool,
+                     quant_attn: bool = False, static_scales: bool = False):
+    out_ref = refs[-1]
+    (l1s, l1b, wq, sq, bq, bias_ref, wp, sp, bp,
+     l2s, l2b, wu, su, bu, wd, sd, bd) = (r[...] for r in refs[:17])
+    # static activation scales ride in SMEM — seven scalar reads per program
+    s_act = tuple(refs[17][i] for i in range(7)) if static_scales else None
     out_ref[...] = _block_math_q8(
-        x_ref[...], l1s[...], l1b[...], wq[...], sq[...], bq[...],
-        bias_ref[...].astype(jnp.float32), wp[...], sp[...], bp[...],
-        l2s[...], l2b[...], wu[...], su[...], bu[...], wd[...], sd[...],
-        bd[...], heads=heads, exact_gelu=exact_gelu, quant_attn=quant_attn,
+        x_ref[...], l1s, l1b, wq, sq, bq,
+        bias_ref.astype(jnp.float32), wp, sp, bp,
+        l2s, l2b, wu, su, bu, wd, sd,
+        bd, heads=heads, exact_gelu=exact_gelu, quant_attn=quant_attn,
+        s_act=s_act,
     )
 
 
 def _chain_kernel(x_ref, *refs, heads: int, exact_gelu: bool, depth: int,
-                  quant: bool = False, quant_attn: bool = False):
+                  quant: bool = False, quant_attn: bool = False,
+                  static_scales: bool = False):
     """``depth`` blocks back-to-back on one VMEM-resident tile: the
     intermediate sequence never touches HBM between blocks (the short
     stage-1/2 sequences pay mostly memory traffic per block under the
     one-kernel-per-block scheme)."""
     out_ref = refs[-1]
     params = refs[:-1]
-    width = 17 if quant else 13
+    width = (18 if static_scales else 17) if quant else 13
     xi = x_ref[...]
     for b in range(depth):  # static unroll
-        p = [r[...] for r in params[width * b : width * (b + 1)]]
+        blk = params[width * b : width * (b + 1)]
+        p = [r[...] for r in blk[:17 if quant else 13]]
         if quant:
             (l1s, l1b, wq, sq, bq, bias, wp, sp, bp, l2s, l2b,
              wu, su, bu, wd, sd, bd) = p
+            s_act = (
+                tuple(blk[17][i] for i in range(7)) if static_scales else None
+            )
             xi = _block_math_q8(
                 xi, l1s, l1b, wq, sq, bq, bias.astype(jnp.float32),
                 wp, sp, bp, l2s, l2b, wu, su, bu, wd, sd, bd,
                 heads=heads, exact_gelu=exact_gelu, quant_attn=quant_attn,
+                s_act=s_act,
             ).astype(x_ref.dtype)
         else:
             (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = p
@@ -360,6 +458,57 @@ def _xla_block(x, params, heads: int, exact_gelu: bool):
     return r + o
 
 
+def block_act_amax(x, params, heads: int, exact_gelu: bool):
+    """Calibration forward: ``_xla_block`` + abs-max taps on the
+    quantized activations.
+
+    Returns ``(out, amax)`` where ``amax`` is a (7,) float32 of the batch
+    abs-maxes of (LN1-out, attention-out, LN2-out, post-GELU, q, k, v) —
+    the four GEMM inputs ``_block_math_q8`` quantizes plus the three
+    attention operands ``_attn_inner_q8s`` quantizes under
+    ``w8a8-static+attn``. Feed a running max of these into
+    ``quantize_block_params(params, act_amax=...)`` for the STATIC-scale
+    serving path (``_qdot_static``): no per-row amax chain at inference.
+    """
+    (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = params
+    b, n, c = x.shape
+    d = c // heads
+    y = _ln(x, l1s, l1b)  # f32 — the kernel quantizes the f32 LN output
+    yc = y.astype(x.dtype)
+    qkv = (
+        yc.reshape(b * n, c) @ wq
+    ).astype(x.dtype).reshape(b, n, 3 * c) + bq
+    q = qkv[:, :, :c].reshape(b, n, heads, d) * (d ** -0.5)
+    k = qkv[:, :, c : 2 * c].reshape(b, n, heads, d)
+    v = qkv[:, :, 2 * c :].reshape(b, n, heads, d)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits + bias[None].astype(jnp.float32), axis=-1)
+    a = jnp.einsum("bhnm,bmhd->bnhd", p.astype(x.dtype), v,
+                   preferred_element_type=jnp.float32)
+    a = a.reshape(b, n, c).astype(x.dtype)
+    r = x + ((a.reshape(b * n, c) @ wp).astype(x.dtype).reshape(b, n, c) + bp)
+    y2 = _ln(r, l2s, l2b)  # f32
+    y2c = y2.astype(x.dtype)
+    h1 = (y2c.reshape(b * n, c) @ wu).astype(jnp.float32) + bu.astype(
+        jnp.float32
+    )
+    h1 = jax.nn.gelu(h1, approximate=not exact_gelu)
+    o = (h1.astype(x.dtype) @ wd).astype(x.dtype).reshape(b, n, c) + bd
+    amax = jnp.stack([
+        jnp.max(jnp.abs(y)),
+        jnp.max(jnp.abs(a.astype(jnp.float32))),
+        jnp.max(jnp.abs(y2)),
+        jnp.max(jnp.abs(h1)),
+        # attention operands, UNSCALED slices of the qkv activation (the
+        # kernel folds the d^-0.5 into the logit dequant scale)
+        jnp.max(jnp.abs(qkv[:, :, :c].astype(jnp.float32))),
+        jnp.max(jnp.abs(qkv[:, :, c : 2 * c].astype(jnp.float32))),
+        jnp.max(jnp.abs(qkv[:, :, 2 * c :].astype(jnp.float32))),
+    ]).astype(jnp.float32)
+    return r + o, amax
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "exact_gelu", "block_b", "interpret", "quant",
@@ -375,7 +524,9 @@ def fused_block(x, params, heads: int, exact_gelu: bool = False,
       params: tuple (ln1_scale, ln1_bias, w_qkv, b_qkv, attn_bias(H,N,N),
         w_proj, b_proj, ln2_scale, ln2_bias, w_up, b_up, w_dn, b_dn) —
         LN params float32, weights in x's dtype. With ``quant=True``, the
-        17-tuple from ``quantize_block_params`` instead.
+        17-tuple from ``quantize_block_params`` instead — or the 18-tuple
+        (static activation scales appended) for the calibrated
+        static-scale path, which skips the per-row dynamic amax chain.
       heads: static head count.
       exact_gelu: erf GELU (torch parity) vs tanh approximation. NOTE:
         Mosaic has no erf/erfc lowering, so exact_gelu=True only works in
@@ -654,17 +805,21 @@ _fused_chain_vjp.defvjp(_fused_chain_fwd, _fused_chain_bwd)
 
 
 def _block_param_specs(p, quant):
-    """(in_specs, flat_args) for one block's params (13- or 17-tuple)."""
+    """(in_specs, flat_args) for one block's params (13-, 17- or — with
+    static activation scales appended — 18-tuple)."""
     whole = lambda i: (0, 0)
     VM = pl.BlockSpec(memory_space=pltpu.VMEM)
     W = lambda a: pl.BlockSpec(a.shape, whole, memory_space=pltpu.VMEM)
     if quant:
         (l1s, l1b, wq, sq, bq, bias, wp, sp, bp, l2s, l2b,
-         wu, su, bu, wd, sd, bd) = p
+         wu, su, bu, wd, sd, bd) = p[:17]
         specs = [VM, VM, W(wq), VM, VM, VM, W(wp), VM, VM, VM, VM,
                  W(wu), VM, VM, W(wd), VM, VM]
         flat = [l1s, l1b, wq, sq, bq, bias.astype(jnp.float32), wp, sp, bp,
                 l2s, l2b, wu, su, bu, wd, sd, bd]
+        if len(p) == 18:  # static activation scales → SMEM scalars
+            specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            flat.append(p[17].astype(jnp.float32))
     else:
         (l1s, l1b, wq, bq, bias, wp, bp, l2s, l2b, wu, bu, wd, bd) = p
         specs = [VM, VM, W(wq), VM, VM, W(wp), VM, VM, VM,
@@ -693,7 +848,8 @@ def _fused_chain_forward(x, params_list, heads, exact_gelu, block_b,
         flat += flat_p
     out = pl.pallas_call(
         functools.partial(_chain_kernel, heads=heads, exact_gelu=exact_gelu,
-                          depth=depth, quant=quant, quant_attn=quant_attn),
+                          depth=depth, quant=quant, quant_attn=quant_attn,
+                          static_scales=quant and len(params_list[0]) == 18),
         grid=((b + pad) // block_b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
@@ -717,7 +873,8 @@ def _fused_block_forward(x, params, heads, exact_gelu, block_b, interpret,
         x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
     specs_p, flat_p = _block_param_specs(params, quant)
     if quant:
-        kern = functools.partial(_block_kernel_q8, quant_attn=quant_attn)
+        kern = functools.partial(_block_kernel_q8, quant_attn=quant_attn,
+                                 static_scales=len(params) == 18)
     else:
         kern = _block_kernel
     out = pl.pallas_call(

@@ -483,6 +483,39 @@ def extract_and_merge_sharded(
     scales = np.asarray(scales)
     factors = np.asarray(factors)
 
+    if str(mcfg.quantize).startswith("w8a8-static"):
+        # static-quant serving needs calibrated activation scales; absent,
+        # calibrate once on shard 0's points (bf16 forward with amax taps —
+        # pass pre-calibrated batch_stats for bit-exact parity with a
+        # single-device extractor calibrated elsewhere)
+        from deepmerge_tpu.infer.extract import _tree_has_key
+
+        if not _tree_has_key(batch_stats, "act_amax"):
+            def _calib(params_, bs_, tile, centers, feats, scl, fac):
+                patches = extract_multiscale_patches(
+                    tile, centers, scl,
+                    patch_sizes=tuple(mcfg.input_image_scales),
+                    caps=staged.caps, quantize_uint8=cfg.quantize_uint8,
+                    out_channels=mcfg.in_channels,
+                    out_dtype=jnp.dtype(mcfg.dtype),
+                )
+                designed = jnp.concatenate([feats, fac], axis=1)
+                variables = {"params": params_}
+                if bs_:
+                    variables["batch_stats"] = bs_
+                _, upd = model.apply(variables, patches, designed, False,
+                                     mutable=["batch_stats"])
+                return upd["batch_stats"]
+
+            batch_stats = jax.jit(_calib)(
+                params, batch_stats, jnp.asarray(staged.tiles[0]),
+                jnp.asarray(staged.centers[0]),
+                jnp.asarray(staged.features[0], jnp.float32),
+                jnp.asarray(scales[0]),
+                jnp.asarray(factors[0], jnp.float32),
+            )
+            has_bs = True
+
     # compiled once per (model/mesh/shape signature); threshold is traced.
     # NB the params/batch_stats PyTree STRUCTURE is part of the signature
     # (in_specs are built from it), so it joins the key.

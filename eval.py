@@ -46,9 +46,14 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="/tmp/deepmerge_eval_ckpt")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the checkpoint dir")
-    p.add_argument("--quantize", choices=["", "w8a8"], default="",
+    p.add_argument("--quantize",
+                   choices=["", "w8a8", "w8a8+attn", "w8a8-static",
+                            "w8a8-static+attn"],
+                   default="",
                    help="serve the held-out scenes with the quantized "
-                   "(int8-MXU) inference path; training stays bf16")
+                   "(int8-MXU) inference path; training stays bf16. "
+                   "Static modes auto-calibrate activation scales on the "
+                   "extractor's first batch")
     args = p.parse_args(argv)
 
     if args.full:
