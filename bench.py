@@ -411,7 +411,11 @@ def main():
                 device_scene=ds,
             )
             rounds = int(rounds)  # sync before the labelmap dispatch
-            label_map, n_clusters = merged_label_map(labels, region_map_dev)
+            # labels ride the bucketed region axis (region_bucket); num_real
+            # keeps the cluster count exact
+            label_map, n_clusters = merged_label_map(
+                labels, region_map_dev,
+                jnp.int32(scene.regions.num_regions))
         rounds = int(rounds)  # sync: the merge finished
         int(n_clusters)  # sync; the (H, W) map stays on device
         return rounds

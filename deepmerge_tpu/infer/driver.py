@@ -13,7 +13,11 @@ import numpy as np
 
 from deepmerge_tpu.config import Config
 from deepmerge_tpu.geodata.types import Scene
-from deepmerge_tpu.infer.extract import FeatureExtractor, FeatureStore
+from deepmerge_tpu.infer.extract import (
+    FeatureExtractor,
+    FeatureStore,
+    unpack_serve_tail,
+)
 from deepmerge_tpu.infer.merge import MergeResult, merge_scene
 from deepmerge_tpu.infer.scoring import score_scene_edges
 from deepmerge_tpu.models.s2former import build_model, init_params
@@ -58,6 +62,50 @@ def load_params(cfg: Config, checkpoint_path: Optional[str] = None):
         state, _, _ = mgr.restore(state)
         params, batch_stats = state.params, state.batch_stats
     return model, params, batch_stats
+
+
+def _staged_edge_arrays(scene: Scene, edge_batch: int, ds=None):
+    """Padded RAG edge arrays as device handles, cached on the staged
+    scene so the folder walk's prefetch thread can upload them while the
+    previous scene computes (same rationale as the chunked-metadata
+    cache in ``FeatureExtractor``). Padding to an ``edge_batch`` multiple
+    keeps same-bucket scenes on one compiled program."""
+    import jax.numpy as jnp
+
+    cache = getattr(ds, "_edge_arrays_cache", None) if ds is not None \
+        else None
+    if cache is not None and edge_batch in cache:
+        return cache[edge_batch]
+    edges = np.asarray(scene.rag.edges, np.int32)
+    pad = (-len(edges)) % edge_batch if len(edges) else edge_batch
+    valid = np.ones(len(edges), bool)
+    if pad:
+        edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    out = (jnp.asarray(edges), jnp.asarray(valid))
+    if ds is not None:
+        if cache is None:
+            cache = {}
+            object.__setattr__(ds, "_edge_arrays_cache", cache)
+        cache[edge_batch] = out
+    return out
+
+
+def prestage_scene(extractor: FeatureExtractor, scene: Scene, ds,
+                   data_cfg, edge_batch: int) -> None:
+    """Warm every per-scene device-input cache from the PREFETCH thread:
+    chunked point metadata (~1MB H2D through a slow relay), the padded
+    point→region ids and the padded edge arrays. The walk's main thread
+    then dispatches the fused program without paying any H2D upload on
+    the critical path."""
+    from deepmerge_tpu.infer.extract import region_bucket
+
+    _, _, args = extractor._chunked_inputs(ds, data_cfg)
+    total = args[0].shape[0] * args[0].shape[1]
+    extractor._padded_point_region(
+        ds, region_bucket(scene.regions.num_regions), total
+    )
+    _staged_edge_arrays(scene, edge_batch, ds=ds)
 
 
 def process_scene(
@@ -138,43 +186,48 @@ def process_scene(
     if fused:
         from deepmerge_tpu.infer.merge import labels_to_result
 
-        edge_batch = max(cfg.merge.edge_batch, 1)
-        edges = np.asarray(scene.rag.edges, np.int32)
-        # pad to an edge_batch multiple: same-bucket scenes share the
-        # compiled program across a folder walk
-        pad = (-len(edges)) % edge_batch if len(edges) else edge_batch
-        valid = np.ones(len(edges), bool)
-        if pad:
-            edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
-            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        edges_dev, valid_dev = _staged_edge_arrays(
+            scene, max(cfg.merge.edge_batch, 1), ds=device_scene
+        )
         q = cfg.merge.threshold_quantile
-        # dispatch only — async under jit; the pulls below block
-        simi_p, labels_d, rounds_d, emb_dev = extractor.segment_scene_device(
-            scene, cfg.data, edges, valid,
+        # dispatch only — async under jit; the pulls below block.
+        # serve_packed: ONE (P_padded, D) model-dtype embedding pull + ONE
+        # f32 tail [simi | labels | rounds] — two relay round-trips per
+        # scene instead of four, half the embedding bytes (bf16 upcast on
+        # the host is lossless, the model computed in bf16)
+        emb_dev, tail_dev = extractor.segment_scene_device(
+            scene, cfg.data, edges_dev, valid_dev,
             num_regions=scene.regions.num_regions,
             max_rounds=cfg.merge.max_rounds,
             device_scene=device_scene,
             threshold=None if q is not None else cfg.merge.threshold,
             threshold_quantile=q if q is not None else 0.5,
-            with_embeddings=True,
+            serve_packed=True,
         )
+        n_edges_padded = int(edges_dev.shape[0])
+        n_points = scene.regions.num_points
+        n_regions = scene.regions.num_regions
 
         def finalize():
-            with phase_timer(timings, "segment"):
-                emb = np.asarray(emb_dev, np.float32)
-                simi = np.asarray(simi_p, np.float32)[: scene.rag.num_edges]
-                rounds = int(rounds_d)
+            with phase_timer(timings, "pull"):
+                tail = np.asarray(tail_dev, np.float32)
+                emb = np.asarray(emb_dev).astype(np.float32)[:n_points]
+            simi, labels, rounds = unpack_serve_tail(
+                tail, n_edges_padded, scene.rag.num_edges, n_regions
+            )
             scene.rag.simi = simi
             if store is not None:
-                store.append(emb)
-                store.close()
+                with phase_timer(timings, "h5"):
+                    store.append(emb)
+                    store.close()
             if lines_path and os.path.exists(lines_path):
                 from deepmerge_tpu.geodata.ingest import write_simi
 
-                write_simi(lines_path, simi)
+                with phase_timer(timings, "simi"):
+                    write_simi(lines_path, simi)
             sweeps_run = min(rounds + 1, cfg.merge.max_rounds)
             result = labels_to_result(
-                labels_d, rounds,
+                labels, rounds,
                 edges_scored=sweeps_run * scene.rag.num_edges,
             )
             log_fn(
@@ -422,6 +475,11 @@ def process_folder(
                     ds = (stage_scene(scene, cfg.data)
                           if prestage and scene.regions.num_points
                           else None)
+                    if ds is not None:
+                        # point metadata + edge arrays upload here too —
+                        # the main thread's dispatch then pays no H2D
+                        prestage_scene(extractor, scene, ds, cfg.data,
+                                       max(cfg.merge.edge_batch, 1))
                     log_fn(f"  prefetch[{entry}]: ingest {t1 - t0:.3f}s "
                            f"stage {time.perf_counter() - t1:.3f}s")
                     return scene, ds

@@ -139,6 +139,37 @@ def _strips_for_budget(scene: Scene, caps, xs: np.ndarray, order: np.ndarray,
     )
 
 
+def region_bucket(num_regions: int, granularity: int = 256) -> int:
+    """Bucketed region-axis size for the fused serving program.
+
+    The region count rides as a STATIC shape through segment_mean / the
+    merge rounds; rounding it up to a bucket lets scenes with drifting
+    region counts (every real mosaic tile differs by a few) share ONE
+    compiled program instead of recompiling per scene. Phantom regions
+    have no points (sentinel-id pad rows are dropped by ``segment_mean``)
+    and appear in no RAG edge, so they stay singleton clusters that never
+    affect the real partition.
+    """
+    return -(-max(num_regions, 1) // granularity) * granularity
+
+
+def unpack_serve_tail(tail, n_edges_padded: int, num_edges: int,
+                      num_regions: int):
+    """Decode the packed f32 serving tail ``[simi | labels | rounds]``
+    produced by ``segment_scene_device(..., serve_packed=True)``.
+
+    Returns ``(simi (num_edges,) f32, labels (num_regions,) int32,
+    rounds int)`` — the real (unpadded) slices. Labels are exact through
+    the f32 round-trip up to 2^24 regions.
+    """
+    tail = np.asarray(tail, np.float32)
+    simi = tail[:n_edges_padded][:num_edges]
+    labels = tail[
+        n_edges_padded:n_edges_padded + num_regions
+    ].astype(np.int32)
+    return simi, labels, int(tail[-1])
+
+
 def _tree_has_key(tree, key: str) -> bool:
     """True if a nested dict/FrozenDict tree contains ``key`` anywhere."""
     try:
@@ -256,20 +287,31 @@ class FeatureExtractor:
             # chunks + region pooling + edge scoring + threshold + merge
             # rounds (ops/labelprop.device_score_and_merge inlines here).
             # ``threshold`` (absolute, traced) overrides the quantile;
-            # ``with_emb`` additionally returns the (P, D) embeddings (for
-            # callers that persist them, e.g. the serving driver's h5)
+            # ``with_emb`` additionally returns the (P_padded, D)
+            # MODEL-dtype embeddings (for callers that persist them, e.g.
+            # the serving driver's h5 — bf16 halves the D2H bytes through
+            # a slow relay and the model computed in bf16 anyway, so the
+            # host f32 upcast is lossless).
+            #
+            # NO data-dependent statics: the point axis stays PADDED (pr
+            # carries the sentinel id num_regions for pad rows — dropped
+            # by segment_mean, and harmless in the merge rounds because
+            # phantom regions appear in no edge) and ``num_regions`` is
+            # the BUCKETED region count (``region_bucket``), so a folder
+            # of same-sized scenes with drifting point/region counts
+            # reuses ONE compiled program instead of recompiling per
+            # scene (~3-8 min each through the remote-compile relay).
             def fused_segment(params, batch_stats, padded, centers, scales,
-                              factors, feats, n_points, pr, edges, valid,
+                              factors, feats, pr, edges, valid,
                               threshold, tq, caps, quantize, num_regions,
                               max_rounds, with_emb=False):
                 from deepmerge_tpu.ops.labelprop import device_score_and_merge
 
                 emb = fused_all(params, batch_stats, padded, centers, scales,
                                 factors, feats, caps, quantize)
-                emb = emb.reshape(-1, emb.shape[-1])[:n_points]
-                emb = emb.astype(jnp.float32)
+                emb = emb.reshape(-1, emb.shape[-1])
                 simi, labels, rounds = device_score_and_merge(
-                    emb, pr, edges, valid,
+                    emb.astype(jnp.float32), pr, edges, valid,
                     num_regions=num_regions, max_rounds=max_rounds,
                     threshold=threshold, threshold_quantile=tq,
                 )
@@ -279,34 +321,65 @@ class FeatureExtractor:
 
             self._fused_segment = jax.jit(
                 fused_segment,
-                static_argnames=("caps", "quantize", "n_points",
+                static_argnames=("caps", "quantize",
                                  "num_regions", "max_rounds", "with_emb"),
             )
 
             # same program + the dense (H, W) merged label map: one
             # dispatch AND one host sync for the entire scene (the
             # two-dispatch tail pays a full relay round-trip between the
-            # merge and the labelmap — ~30ms/scene on relayed platforms)
+            # merge and the labelmap — ~30ms/scene on relayed platforms).
+            # ``num_real`` (traced) keeps num_clusters exact under the
+            # bucketed region axis.
             def fused_segment_map(params, batch_stats, padded, centers,
-                                  scales, factors, feats, n_points, pr,
+                                  scales, factors, feats, pr,
                                   edges, valid, threshold, tq, region_map,
-                                  caps, quantize, num_regions, max_rounds,
-                                  with_emb=False):
+                                  num_real, caps, quantize, num_regions,
+                                  max_rounds, with_emb=False):
                 from deepmerge_tpu.ops.labelprop import merged_label_map
 
                 out = fused_segment(
                     params, batch_stats, padded, centers, scales, factors,
-                    feats, n_points, pr, edges, valid, threshold, tq, caps,
+                    feats, pr, edges, valid, threshold, tq, caps,
                     quantize, num_regions, max_rounds, with_emb,
                 )
                 simi, labels, rounds = out[:3]
-                label_map, n_clusters = merged_label_map(labels, region_map)
+                label_map, n_clusters = merged_label_map(
+                    labels, region_map, num_real
+                )
                 return (simi, labels, rounds, label_map, n_clusters) + out[3:]
 
             self._fused_segment_map = jax.jit(
                 fused_segment_map,
-                static_argnames=("caps", "quantize", "n_points",
+                static_argnames=("caps", "quantize",
                                  "num_regions", "max_rounds", "with_emb"),
+            )
+
+            # serving wrapper: the same program, outputs packed for the
+            # MINIMUM number of host pulls through the relay (each pull
+            # pays ~28ms of round-trip latency): (P_padded, D) model-dtype
+            # embeddings + ONE f32 tail [simi | labels | rounds] (labels
+            # are exact in f32 up to 2^24 regions)
+            def fused_segment_serve(params, batch_stats, padded, centers,
+                                    scales, factors, feats, pr, edges,
+                                    valid, threshold, tq, caps, quantize,
+                                    num_regions, max_rounds):
+                simi, labels, rounds, emb = fused_segment(
+                    params, batch_stats, padded, centers, scales, factors,
+                    feats, pr, edges, valid, threshold, tq, caps,
+                    quantize, num_regions, max_rounds, True,
+                )
+                tail = jnp.concatenate([
+                    simi.astype(jnp.float32),
+                    labels.astype(jnp.float32),
+                    rounds.astype(jnp.float32)[None],
+                ])
+                return emb, tail
+
+            self._fused_segment_serve = jax.jit(
+                fused_segment_serve,
+                static_argnames=("caps", "quantize",
+                                 "num_regions", "max_rounds"),
             )
         else:
             # multi-chip extraction: replicate params + scene, split the
@@ -628,27 +701,42 @@ class FeatureExtractor:
         threshold=None,
         threshold_quantile: float = 0.5,
         with_embeddings: bool = False,
+        serve_packed: bool = False,
     ):
         """Extract + pool + score + merge a scene in ONE dispatch.
 
         ``edges``/``edge_valid`` are the padded RAG arrays (device or host);
-        returns (simi, labels, rounds) exactly like
+        returns (simi, labels, rounds) like
         ``ops/labelprop.device_score_and_merge`` — embeddings never leave
         the program, let alone the device. Single-device path only.
+
+        The compiled program has NO data-dependent statics: ``labels``
+        come back over a BUCKETED region axis (``region_bucket
+        (num_regions)`` — slice ``[:num_regions]`` on the host; phantom
+        regions are singleton clusters that never touch the real
+        partition) and ``with_embeddings`` returns the PADDED point axis
+        in the MODEL dtype (slice ``[:scene.regions.num_points]`` and
+        upcast on the host — lossless, the model computed in that dtype).
+        A folder of same-sized scenes with drifting point/region counts
+        therefore replays one compiled program instead of recompiling per
+        scene.
 
         With ``region_map`` (the (H, W) int32 superpixel-id map, ideally a
         device array uploaded once per scene), the program additionally
         dense-relabels and expands the merged (H, W) label map
         (``ops/labelprop.merged_label_map``) and returns
         ``(simi, labels, rounds, label_map, n_clusters)`` — still ONE
-        dispatch and one host sync for the whole scene.
+        dispatch and one host sync for the whole scene; ``n_clusters``
+        counts only real clusters (traced ``num_real``).
 
         ``threshold``: absolute merge threshold (traced scalar — sweeps
         reuse the program); None thresholds at ``threshold_quantile`` of
         the valid edge distances in-program (also traced; the 0.5 default
         is a NON-reference semantic, see ``device_score_and_merge``).
-        ``with_embeddings``: additionally return the (P, D) float32
-        embeddings (appended to the tuple) for callers that persist them.
+        ``serve_packed`` (serving drivers): return ``(emb, tail)`` where
+        ``tail`` is one f32 vector ``[simi | labels | rounds]`` — TWO
+        host pulls per scene instead of four (each pull pays a relay
+        round-trip). Decode with ``unpack_serve_tail``.
         """
         if self.mesh is not None:
             raise ValueError("segment_scene_device is single-device only")
@@ -656,25 +744,47 @@ class FeatureExtractor:
         n, _, args = self._chunked_inputs(ds, cfg)
         self._maybe_calibrate(ds.padded, *(a[0] for a in args),
                               caps=ds.caps, quantize=cfg.quantize_uint8)
-        # the point→region map uploads once per staged scene (same
-        # rationale as _chunked_inputs: repeated runs shouldn't re-pay it)
-        pr = getattr(ds, "_point_region_device", None)
-        if pr is None:
-            pr = jnp.asarray(ds.point_region, jnp.int32)
-            object.__setattr__(ds, "_point_region_device", pr)
+        r_pad = region_bucket(num_regions)
+        total = args[0].shape[0] * args[0].shape[1]
+        pr = self._padded_point_region(ds, r_pad, total)
         common = dict(
-            n_points=n, pr=pr,
+            pr=pr,
             edges=jnp.asarray(edges), valid=jnp.asarray(edge_valid),
             threshold=threshold, tq=jnp.float32(threshold_quantile),
             caps=ds.caps, quantize=cfg.quantize_uint8,
-            num_regions=num_regions, max_rounds=max_rounds,
-            with_emb=with_embeddings,
+            num_regions=r_pad, max_rounds=max_rounds,
         )
+        if serve_packed:
+            assert region_map is None, "serve_packed has no labelmap output"
+            return self._fused_segment_serve(
+                self.params, self.batch_stats, ds.padded, *args, **common
+            )
         if region_map is None:
             return self._fused_segment(
-                self.params, self.batch_stats, ds.padded, *args, **common
+                self.params, self.batch_stats, ds.padded, *args,
+                with_emb=with_embeddings, **common
             )
         return self._fused_segment_map(
             self.params, self.batch_stats, ds.padded, *args,
-            region_map=jnp.asarray(region_map, jnp.int32), **common
+            region_map=jnp.asarray(region_map, jnp.int32),
+            num_real=jnp.int32(num_regions), with_emb=with_embeddings,
+            **common
         )
+
+    def _padded_point_region(self, ds: DeviceScene, r_pad: int, total: int):
+        """Device-resident point→region ids padded to the chunked point
+        count ``total`` with the sentinel ``r_pad`` (segment_mean's
+        padding id; out-of-range for every gather, whose clamp is harmless
+        — see ``fused_segment``). Cached per staged scene like
+        ``_chunked_inputs``."""
+        cache = getattr(ds, "_padded_pr_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(ds, "_padded_pr_cache", cache)
+        key = (r_pad, total)
+        if key not in cache:
+            n = ds.point_region.shape[0]
+            prp = np.full(total, r_pad, np.int32)
+            prp[:n] = ds.point_region
+            cache[key] = jnp.asarray(prp)
+        return cache[key]

@@ -134,7 +134,10 @@ def device_merge(
 
     Args:
       point_embeddings: (P, D) float32.
-      point_region: (P,) int32 region id per point.
+      point_region: (P,) int32 region id per point. May contain
+        ``num_regions`` as a PADDING id (like ``segment_mean``): those
+        rows never contribute to any cluster embedding, so callers can
+        keep the point axis statically padded across scenes.
       edges: (E, 2) int32 ORIGINAL RAG edges (padding allowed).
       edge_valid: (E,) bool mask for padding.
       threshold: merge edges with Euclidean distance < threshold.
@@ -148,11 +151,16 @@ def device_merge(
     """
     labels0 = jnp.arange(num_regions, dtype=jnp.int32)
     pr = point_region.astype(jnp.int32)
+    pad_pt = pr >= num_regions
     emb = point_embeddings.astype(jnp.float32)
 
     def round_body(state):
         labels, rounds, _changed = state
-        pt_cluster = labels[pr]
+        # padding rows keep the sentinel id through the label gather
+        # (labels[pr] would CLAMP the out-of-range sentinel onto the last
+        # real region when R fills its bucket exactly); segment_mean then
+        # drops them
+        pt_cluster = jnp.where(pad_pt, num_regions, labels[pr])
         cemb = segment_mean(emb, pt_cluster, num_regions)
         la = labels[edges[:, 0]]
         lb = labels[edges[:, 1]]
@@ -179,7 +187,7 @@ def device_merge(
 
 
 @jax.jit
-def merged_label_map(labels, region_map_hw):
+def merged_label_map(labels, region_map_hw, num_real=None):
     """Dense-relabel cluster labels and expand to an (H, W) merged map —
     entirely on device, output device-resident.
 
@@ -194,6 +202,13 @@ def merged_label_map(labels, region_map_hw):
       labels: (R,) int32 min-member-id cluster labels (``device_merge``).
       region_map_hw: (H, W) int32 superpixel region-id map (device array;
         upload once per scene alongside staging).
+      num_real: optional TRACED region count when ``labels`` carries a
+        region axis padded up to a bucket (``region_bucket`` in
+        ``infer/extract.py``: phantom regions ``num_real..R-1`` have no
+        points and no edges, so they stay singleton clusters whose labels
+        sort strictly AFTER every real label — the dense ids of real
+        clusters are unaffected). ``num_clusters`` then counts only
+        clusters with a member below ``num_real``.
 
     Returns:
       (map_hw (H, W) int32 dense labels 0..k-1 ordered by smallest member
@@ -206,4 +221,10 @@ def merged_label_map(labels, region_map_hw):
     )
     dense_at_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
     dense = dense_at_sorted[jnp.searchsorted(s, labels)]
-    return dense[region_map_hw], dense_at_sorted[-1] + 1
+    if num_real is None:
+        n_clusters = dense_at_sorted[-1] + 1
+    else:
+        n_clusters = jnp.sum(
+            first & (s < jnp.asarray(num_real, s.dtype))
+        ).astype(jnp.int32)
+    return dense[region_map_hw], n_clusters

@@ -150,12 +150,20 @@ def test_segment_scene_device_matches_two_step(tiny_model_cfg, tiny_data_cfg):
         jnp.asarray(edges), jnp.asarray(valid),
         num_regions=scene.regions.num_regions, max_rounds=8,
     )
+    R = scene.regions.num_regions
     got_simi, got_labels, got_rounds = extractor.segment_scene_device(
         scene, tiny_data_cfg, edges, valid,
-        num_regions=scene.regions.num_regions, max_rounds=8,
+        num_regions=R, max_rounds=8,
     )
-    np.testing.assert_array_equal(np.asarray(got_labels),
-                                  np.asarray(want_labels))
+    # the fused program runs a BUCKETED region axis (no per-scene
+    # recompiles): real labels are the first R entries, phantom regions
+    # stay singletons labeled with their own (post-R) ids
+    got_labels = np.asarray(got_labels)
+    np.testing.assert_array_equal(got_labels[:R], np.asarray(want_labels))
+    from deepmerge_tpu.infer.extract import region_bucket
+
+    assert got_labels.shape[0] == region_bucket(R)
+    np.testing.assert_array_equal(got_labels[R:], np.arange(R, len(got_labels)))
     np.testing.assert_allclose(np.asarray(got_simi)[valid],
                                np.asarray(want_simi)[valid], rtol=1e-5)
     assert int(got_rounds) == int(want_rounds)
@@ -174,7 +182,7 @@ def test_segment_scene_device_matches_two_step(tiny_model_cfg, tiny_data_cfg):
             region_map=scene.labels,
         )
     )
-    np.testing.assert_array_equal(np.asarray(m_labels),
+    np.testing.assert_array_equal(np.asarray(m_labels)[:R],
                                   np.asarray(want_labels))
     np.testing.assert_array_equal(np.asarray(got_map), np.asarray(want_map))
     assert int(got_k) == int(want_k)
