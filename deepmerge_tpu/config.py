@@ -23,6 +23,25 @@ CROSS_SCALE_BLOCK_VARIANTS = frozenset({"v1", "v2", "v3", "v4", "v5"})
 KNOWN_VARIANTS = frozenset(CROSS_SCALE_BLOCK_VARIANTS | {"v6", "vit"})
 
 
+class ExperimentalNegativeWarning(UserWarning):
+    """Raised when a config enables a knob that was built, parity-tested
+    and MEASURED NEGATIVE on v5e (BENCH.md has the receipts). The knobs
+    stay available as documented experiments; nobody should turn them on
+    expecting a win."""
+
+
+def _warn_experimental_negative(knob: str, measurement: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"{knob} is an experimental knob MEASURED NEGATIVE on v5e "
+        f"({measurement} — BENCH.md). It stays available as a documented "
+        f"experiment; the default path is faster.",
+        ExperimentalNegativeWarning,
+        stacklevel=3,
+    )
+
+
 @dataclass(frozen=True)
 class ModelConfig:
     """S2Former family configuration.
@@ -69,21 +88,44 @@ class ModelConfig:
                                               # the megakernel's qkv/proj/mlp GEMMs
                                               # (1.44x/block on v5e; inference-only,
                                               # needs the fused-block path).
-                                              # "w8a8+attn" additionally runs the
-                                              # attention matmuls (q@kT, p@v) int8.
-                                              # "w8a8-static": CALIBRATED static
-                                              # activation scales instead of the
-                                              # per-row dynamic amax chain
-                                              # (FeatureExtractor auto-calibrates
-                                              # on the first batch; scales live in
-                                              # batch_stats like BatchNorm stats).
+                                              # "w8a8+attn" / "w8a8-static" are
+                                              # EXPERIMENTAL, measured negative on
+                                              # v5e (warn on use; BENCH.md round 4);
+                                              # "w8a8-static+attn" was pruned
+                                              # (strictly dominated).
 
     def __post_init__(self):
-        if self.quantize not in ("", "w8a8", "w8a8+attn", "w8a8-static",
-                                 "w8a8-static+attn"):
+        if self.quantize == "w8a8-static+attn":
+            # strictly dominated: measured below BOTH w8a8 (4.4258) and
+            # w8a8-static (4.3654) at 4.1265 MPix/s/chip (BENCH.md round-4
+            # static table) — pruned from the config surface
             raise ValueError(
-                f"model.quantize must be '', 'w8a8', 'w8a8+attn', "
-                f"'w8a8-static' or 'w8a8-static+attn', got {self.quantize!r}"
+                "model.quantize='w8a8-static+attn' was removed: it measured "
+                "strictly below both 'w8a8' and 'w8a8-static' on v5e "
+                "(BENCH.md round 4). Use 'w8a8' (the serving default)."
+            )
+        if self.quantize not in ("", "w8a8", "w8a8+attn", "w8a8-static"):
+            raise ValueError(
+                f"model.quantize must be '', 'w8a8', 'w8a8+attn' or "
+                f"'w8a8-static', got {self.quantize!r}"
+            )
+        if self.quantize == "w8a8+attn":
+            _warn_experimental_negative(
+                "model.quantize='w8a8+attn'",
+                "0.72x vs w8a8: 37.56 vs 26.91 ms/block — int8 attention "
+                "dots at d=64 lose to bf16",
+            )
+        elif self.quantize == "w8a8-static":
+            _warn_experimental_negative(
+                "model.quantize='w8a8-static'",
+                "4.3654 vs 4.4258 MPix/s/chip — the dynamic amax chain "
+                "rides free under Mosaic fusion",
+            )
+        if self.chain_stage0:
+            _warn_experimental_negative(
+                "model.chain_stage0",
+                "3.158 vs 3.316 bf16 and 4.245 vs 4.418 w8a8 MPix/s/chip — "
+                "whole-program scheduling beats the saved HBM round-trips",
             )
         if self.quantize and (
             not self.fused_block or not self.fused_attention
@@ -164,6 +206,14 @@ class TrainConfig:
                                               # the training default; the
                                               # kernel path remains grad-
                                               # parity-tested.
+
+    def __post_init__(self):
+        if self.fused_block:
+            _warn_experimental_negative(
+                "train.fused_block",
+                "208.2 vs 162.8 ms/step at batch 120 — the saved-activation "
+                "kernel VJP loses to XLA autodiff",
+            )
 
 
 @dataclass(frozen=True)

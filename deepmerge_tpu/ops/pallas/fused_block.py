@@ -465,8 +465,10 @@ def block_act_amax(x, params, heads: int, exact_gelu: bool):
     Returns ``(out, amax)`` where ``amax`` is a (7,) float32 of the batch
     abs-maxes of (LN1-out, attention-out, LN2-out, post-GELU, q, k, v) —
     the four GEMM inputs ``_block_math_q8`` quantizes plus the three
-    attention operands ``_attn_inner_q8s`` quantizes under
-    ``w8a8-static+attn``. Feed a running max of these into
+    attention operands ``_attn_inner_q8s`` quantizes when ``quant_attn``
+    is combined with static scales (the ``w8a8-static+attn`` config combo
+    was pruned as strictly dominated; the kernel capability remains for
+    probes). Feed a running max of these into
     ``quantize_block_params(params, act_amax=...)`` for the STATIC-scale
     serving path (``_qdot_static``): no per-row amax chain at inference.
     """

@@ -220,11 +220,10 @@ def test_extract_and_merge_sharded_disjoint_tiles(tiny_model_cfg):
     # UNCLAMPED windows: max_window >= the scene's full adaptive-scale
     # ladder so the sharded parity runs on reference-faithful patches
     # (no clamp warning, VERDICT r3 weak #5)
-    inner = scene.regions.inner.astype(np.int64)
-    obj = scene.regions.object_.astype(np.int64)
-    ladder_max = int((3 * obj - 2 * inner).max())
-    mw = -(-ladder_max // 128) * 128
-    dcfg = DataConfig(patch_sizes=(16, 32, 64), max_window=mw,
+    from tests.helpers import unclamped_max_window
+
+    dcfg = DataConfig(patch_sizes=(16, 32, 64),
+                      max_window=unclamped_max_window(scene),
                       eval_batch_size=16)
     n_shards = 4
 
@@ -282,9 +281,12 @@ def test_extract_and_merge_sharded_v4_batch_stats():
     mcfg = ModelConfig(variant="v4", input_image_scales=(16, 32, 64), cube=8,
                        embed_dim=32, depth=(1, 1, 1), num_heads=4, out_dim=16,
                        dtype="float32")
+    from tests.helpers import unclamped_max_window
+
     scene = generate_scene(h=96, w=768, n_regions=24, n_objects=6,
                            points_per_region=1, seed=13)
-    dcfg = DataConfig(patch_sizes=(16, 32, 64), max_window=128,
+    dcfg = DataConfig(patch_sizes=(16, 32, 64),
+                      max_window=unclamped_max_window(scene),
                       eval_batch_size=8)
     model = build_model(mcfg)
     variables = init_params(model, jax.random.key(0))

@@ -21,7 +21,6 @@ Variants (each guarded — Mosaic may refuse int4 outright):
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 
@@ -59,7 +58,11 @@ def _mk(a_dtype, b_dtype, cast_b_to=None):
 
 def probe(name, a_dtype, b_dtype, cast_b_to=None):
     rng = np.random.default_rng(0)
-    a8 = rng.integers(-100, 100, (M, K), dtype=np.int8)
+    # operands stay inside each dtype's range (int4 in [-7,7]) so the
+    # counter perturbation below cannot wrap — the distributions are what
+    # they claim to be, not just rate fodder
+    a_lim = 6 if a_dtype == jnp.int4 else 100
+    a8 = rng.integers(-a_lim, a_lim, (M, K), dtype=np.int8)
     b_lim = 7 if b_dtype == jnp.int4 else 100
     b8 = rng.integers(-b_lim, b_lim, (K, N), dtype=np.int8)
     a = jnp.asarray(a8).astype(a_dtype)
@@ -67,8 +70,11 @@ def probe(name, a_dtype, b_dtype, cast_b_to=None):
     mm = _mk(a_dtype, b_dtype, cast_b_to)
 
     def body(i, a, b):
-        # perturb with the loop counter so XLA cannot hoist the dot
-        aa = a + i.astype(a_dtype)
+        # perturb with the loop counter so XLA cannot hoist the dot;
+        # the modulus keeps a + perturbation within range (int4 max is 7,
+        # a reaches 5, so perturb by at most 2; int8 reaches 99 + 7)
+        mod = 2 if a_dtype == jnp.int4 else 8
+        aa = a + (i % mod).astype(a_dtype)
         out = mm(aa, b)
         return jnp.abs(out.astype(jnp.float32)).sum() * 1e-9
 
