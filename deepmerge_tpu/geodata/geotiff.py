@@ -228,6 +228,15 @@ class GeoTiff:
 
 
 def read_geotiff(path: str) -> GeoTiff:
+    """Parse + decode a (Big)TIFF. Failure contract for untrusted bytes
+    (watch serving ingests scenes as they appear — a file mid-copy is the
+    realistic arrival): a torn or corrupt file raises a CLEAN,
+    path-attributed ``ValueError`` — never a raw ``zlib.error`` /
+    ``struct.error`` / short-slice ``IndexError``, and never a hang or
+    unbounded allocation (IFD walks and tag values are bounded by the
+    file size below). ``OSError`` from opening the file and
+    ``NotImplementedError`` from unsupported-format guards pass through.
+    """
     import mmap
 
     # mmap instead of slurping: strip/tile slices page in on demand, so a
@@ -238,6 +247,25 @@ def read_geotiff(path: str) -> GeoTiff:
             data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         except ValueError:  # zero-length file
             data = f.read()
+    try:
+        return _parse_geotiff(path, data)
+    except NotImplementedError:
+        raise
+    except ValueError as e:
+        if str(path) in str(e):
+            raise  # already a clean path-attributed parse error
+        raise ValueError(
+            f"{path}: truncated or corrupt TIFF ({e})"
+        ) from e
+    except Exception as e:  # zlib/lzma/struct/PIL/numpy decode failures
+        raise ValueError(
+            f"{path}: truncated or corrupt TIFF ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _parse_geotiff(path: str, data) -> GeoTiff:
+    import mmap
+
     bo = data[:2]
     if bo == b"II":
         e = "<"
@@ -266,6 +294,13 @@ def read_geotiff(path: str) -> GeoTiff:
         n_entries, = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
         entry0, entry_sz, inline = ifd_off + 2, 12, 4
         cnt_fmt, off_fmt = "I", "I"
+    if entry0 + n_entries * entry_sz > len(data):
+        # bounds the walk BEFORE iterating: a corrupt 64-bit entry count
+        # would otherwise spin a near-infinite Python loop
+        raise ValueError(
+            f"{path}: truncated TIFF ({n_entries} IFD entries extend "
+            f"past the file)"
+        )
     tags: dict[int, list] = {}
     for i in range(n_entries):
         off = entry0 + entry_sz * i
@@ -275,6 +310,13 @@ def read_geotiff(path: str) -> GeoTiff:
         )
         vpos = off + entry_sz - inline
         size = _TYPE_SIZES.get(typ, 1) * count
+        if size > len(data):
+            # a tag's value region cannot exceed the file; reject before
+            # building a giant unpack format string from a corrupt count
+            raise ValueError(
+                f"{path}: truncated TIFF (tag {tag} claims {size} value "
+                f"bytes in a {len(data)}-byte file)"
+            )
         if size <= inline:
             raw = data[vpos : vpos + size]
         else:
@@ -308,6 +350,18 @@ def read_geotiff(path: str) -> GeoTiff:
         (2, 16): np.int16, (2, 32): np.int32, (3, 32): np.float32,
     }[(fmt, bps)]
     dtype = np.dtype(dtype).newbyteorder(e)
+
+    total_bytes = int(h) * int(w) * int(spp) * dtype.itemsize
+    max_bytes = int(os.environ.get("DEEPMERGE_TIFF_MAX_BYTES",
+                                   64 * 1024**3))
+    if h <= 0 or w <= 0 or total_bytes > max_bytes:
+        # compressed payloads can't be cross-checked against the file
+        # size, so a corrupt dimension tag is caught by plausibility:
+        # refuse before allocating (cap overridable for outsized mosaics)
+        raise ValueError(
+            f"{path}: implausible TIFF dimensions {h}x{w}x{spp} "
+            f"({total_bytes} bytes; DEEPMERGE_TIFF_MAX_BYTES={max_bytes})"
+        )
 
     jpeg_tables = tags.get(_JPEG_TABLES, [b""])[0] if comp == 7 else None
 

@@ -106,8 +106,23 @@ def load_scene(
     # deletion-flagged records may carry null shapes (OGR filters them before
     # they are ever seen); only live records must have real point geometry
     coords = read_point_coords(points_path, deleted_mask=pts.deleted_mask)
+    n_physical = len(pts) if pts.deleted_mask is None \
+        else len(pts.deleted_mask)
+    if len(coords) != n_physical:
+        # a torn .shp (scene mid-copy) can carry fewer records than its
+        # sibling .dbf — fail cleanly, never index-mismatch below
+        raise ValueError(
+            f"{points_path}: {len(coords)} shp records vs "
+            f"{n_physical} dbf records — truncated or mismatched "
+            "sidecar files"
+        )
     if pts.deleted_mask is not None:
         coords = coords[~pts.deleted_mask]
+    if len(coords) and not np.isfinite(coords).all():
+        raise ValueError(
+            f"{points_path}: non-finite point coordinates — corrupt "
+            "geometry"
+        )
 
     r = len(polys)
     features = np.zeros((r, len(DESIGNED_FEATURE_NAMES)), np.float32)
@@ -124,6 +139,12 @@ def load_scene(
     point_region = np.full(len(pts), -1, np.int32)
     for rid, ids in enumerate(point_ids_per_poly):
         for pid in ids:
+            if not 0 <= pid < len(pts):
+                raise ValueError(
+                    f"{polygon_path}: polygon {rid} references point id "
+                    f"{pid} outside the {len(pts)}-record point layer — "
+                    "truncated or mismatched sidecar files"
+                )
             point_region[pid] = rid
 
     def _int_field(name):
@@ -143,9 +164,27 @@ def load_scene(
     # vectorized reference geo->pixel incl. the +1 offset
     # (MyUtils1.py:70-72; int() truncation == astype on the abs() value)
     gt = tif.geotransform
-    xp = (np.abs((gt[0] - coords[:, 0]) / gt[1]) + 1).astype(np.int32)
-    yl = (np.abs((gt[3] - coords[:, 1]) / gt[5]) + 1).astype(np.int32)
-    centers = np.stack([yl, xp], axis=1)
+    if not (np.isfinite(gt).all() and gt[1] != 0 and gt[5] != 0):
+        # corrupt ModelPixelScale/Tiepoint doubles would cast NaN/inf
+        # centers to garbage int32 indices with only a RuntimeWarning
+        raise ValueError(
+            f"{image_path}: corrupt geotransform {tuple(gt)}"
+        )
+    xp_f = np.abs((gt[0] - coords[:, 0]) / gt[1]) + 1
+    yl_f = np.abs((gt[3] - coords[:, 1]) / gt[5]) + 1
+    if len(coords) and not (
+        np.isfinite(xp_f).all() and np.isfinite(yl_f).all()
+        and xp_f.max(initial=0) < 2**31 and yl_f.max(initial=0) < 2**31
+    ):
+        # a corrupt-but-finite geotransform (e.g. a denormal pixel scale)
+        # overflows the int32 cast with only a RuntimeWarning
+        raise ValueError(
+            f"{image_path}: point coordinates map outside any plausible "
+            f"pixel grid (geotransform {tuple(gt)}) — corrupt "
+            "georeferencing"
+        )
+    centers = np.stack([yl_f.astype(np.int32), xp_f.astype(np.int32)],
+                       axis=1)
 
     # region-level inner/object: take each region's first sample point's
     # fields (the reference stores them per point; they are per-region values)

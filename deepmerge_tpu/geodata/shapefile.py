@@ -37,6 +37,41 @@ _SHAPE_NAMES = {SHP_POINT: "point", SHP_POLYLINE: "polyline", SHP_POLYGON: "poly
 _ZM_TO_BASE = {11: 1, 21: 1, 13: 3, 23: 3, 15: 5, 25: 5}
 
 
+def _parse_guard(fn):
+    """Normalize parse-time failures on untrusted bytes to ``ValueError``.
+
+    A torn or corrupt file (a scene mid-copy is the realistic arrival in
+    watch serving — ``infer/driver.process_folder``) must fail with a
+    CLEAN, path-attributed ``ValueError`` — never a raw ``struct.error``,
+    ``IndexError`` from a short slice, numpy buffer ``TypeError``, or a
+    decode error. ``OSError`` (missing file) and ``NotImplementedError``
+    (unsupported-format guards) pass through unchanged. Applied to every
+    reader whose first argument is the file path.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(path, *args, **kwargs):
+        try:
+            return fn(path, *args, **kwargs)
+        except (OSError, NotImplementedError):
+            raise
+        except ValueError as e:
+            if str(path) in str(e):
+                raise  # already a clean path-attributed parse error
+            raise ValueError(
+                f"{path}: truncated or corrupt shapefile data ({e})"
+            ) from e
+        except (struct.error, IndexError, TypeError, KeyError,
+                UnicodeDecodeError, OverflowError, MemoryError) as e:
+            raise ValueError(
+                f"{path}: truncated or corrupt shapefile data "
+                f"({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
 @dataclass
 class DbfField:
     name: str
@@ -191,6 +226,7 @@ def _check_shp_header(path: str, data: bytes) -> None:
         raise ValueError(f"{path}: not a shapefile (code {code})")
 
 
+@_parse_guard
 def _read_shp_header(path: str) -> tuple[int, int, tuple[float, ...]]:
     """(base_shape_type, raw_shape_type, header ranges) — header only."""
     with open(path, "rb") as f:
@@ -201,6 +237,7 @@ def _read_shp_header(path: str) -> tuple[int, int, tuple[float, ...]]:
     return _ZM_TO_BASE.get(raw_type, raw_type), raw_type, ranges
 
 
+@_parse_guard
 def read_point_coords(
     path: str, deleted_mask: np.ndarray | None = None
 ) -> np.ndarray:
@@ -269,6 +306,7 @@ def _check_null_shapes(
         )
 
 
+@_parse_guard
 def _read_shp_full(
     path: str,
 ) -> tuple[int, list[Shape], int, tuple[float, ...]]:
@@ -277,9 +315,7 @@ def _read_shp_full(
     ``raw`` so attribute-only rewrites round-trip Z/M geometry verbatim."""
     with open(path, "rb") as f:
         data = f.read()
-    code, = struct.unpack(">i", data[0:4])
-    if code != 9994:
-        raise ValueError(f"{path}: not a shapefile (code {code})")
+    _check_shp_header(path, data)
     file_len_words, = struct.unpack(">i", data[24:28])
     raw_type, = struct.unpack("<i", data[32:36])
     ranges = struct.unpack("<8d", data[36:100])
@@ -289,11 +325,25 @@ def _read_shp_full(
     end = file_len_words * 2
     while off < end:
         _recno, content_words = struct.unpack(">ii", data[off : off + 8])
+        if content_words < 0:
+            # a corrupt negative length would walk ``off`` BACKWARD —
+            # an infinite loop, not just a bad record
+            raise ValueError(
+                f"{path}: corrupt shapefile record at byte {off} "
+                f"(negative content length {content_words})"
+            )
         off += 8
         rec = data[off : off + content_words * 2]
         off += content_words * 2
-        stype, = struct.unpack("<i", rec[0:4])
-        stype = _ZM_TO_BASE.get(stype, stype)
+        rec_type, = struct.unpack("<i", rec[0:4])
+        stype = _ZM_TO_BASE.get(rec_type, rec_type)
+        if rec_type != 0 and rec_type != raw_type and stype != shape_type:
+            # the spec allows only null or the file's own type per record:
+            # anything else is a corrupt record, not an unsupported format
+            raise ValueError(
+                f"{path}: corrupt shapefile record at byte {off - 8} "
+                f"(shape type {rec_type} in a type-{raw_type} file)"
+            )
         if stype == 0:  # null shape
             shapes.append(Shape(0, np.zeros((0, 2)), raw=rec))
         elif stype == SHP_POINT:
@@ -368,6 +418,26 @@ def _read_dbf(path: str) -> tuple[list[DbfField], list[dict]]:
     return fields, [r for r, d in zip(records, deleted) if not d]
 
 
+def _dbf_field_descriptors(path: str, data) -> list[DbfField]:
+    """Walk the 32-byte field descriptors up to the 0x0D terminator —
+    BOUNDED by the file, so a torn header (the terminator byte is the one
+    that went missing) raises instead of running off the end."""
+    fields: list[DbfField] = []
+    off = 32
+    while off < len(data) and data[off] != 0x0D:
+        if off + 32 > len(data):
+            break
+        name = data[off : off + 11].split(b"\x00")[0].decode("ascii")
+        fields.append(DbfField(name, chr(data[off + 11]),
+                               data[off + 16], data[off + 17]))
+        off += 32
+    if off >= len(data):
+        raise ValueError(
+            f"{path}: truncated dbf header (no field-descriptor terminator)"
+        )
+    return fields
+
+
 def _parse_dbf_column(fld: DbfField, raw: np.ndarray) -> list:
     """Decode one stripped BYTES column per dBase semantics. Vectorized —
     the per-cell decode/strip/float loop dominated scene ingestion
@@ -398,6 +468,7 @@ def _parse_dbf_column(fld: DbfField, raw: np.ndarray) -> list:
     return np.char.decode(raw, "ascii", "replace").tolist()
 
 
+@_parse_guard
 def _read_dbf_full(path: str) -> tuple[list[DbfField], list[dict], list[bool]]:
     """Returns (fields, ALL records incl. deletion-flagged ones, deleted
     mask) — the mask lets ``ShapefileTable.read`` drop a flagged record's
@@ -405,15 +476,7 @@ def _read_dbf_full(path: str) -> tuple[list[DbfField], list[dict], list[bool]]:
     with open(path, "rb") as f:
         data = f.read()
     n_records, header_size, record_size = struct.unpack("<IHH", data[4:12])
-    fields: list[DbfField] = []
-    off = 32
-    while data[off] != 0x0D:
-        name = data[off : off + 11].split(b"\x00")[0].decode("ascii")
-        ftype = chr(data[off + 11])
-        length = data[off + 16]
-        decimals = data[off + 17]
-        fields.append(DbfField(name, ftype, length, decimals))
-        off += 32
+    fields = _dbf_field_descriptors(path, data)
     table = np.frombuffer(
         data, np.uint8, n_records * record_size, header_size
     ).reshape(n_records, record_size)
@@ -458,6 +521,7 @@ def _format_value(fld: DbfField, value) -> bytes:
     return s.rjust(fld.length).encode("ascii")
 
 
+@_parse_guard
 def read_dbf_columns(
     path: str, names: list[str]
 ) -> tuple[dict[str, list], list[bool]]:
@@ -468,13 +532,7 @@ def read_dbf_columns(
     with open(path, "rb") as f:
         data = f.read()
     n_records, header_size, record_size = struct.unpack("<IHH", data[4:12])
-    fields: list[DbfField] = []
-    off = 32
-    while data[off] != 0x0D:
-        fname = data[off : off + 11].split(b"\x00")[0].decode("ascii")
-        fields.append(DbfField(fname, chr(data[off + 11]),
-                               data[off + 16], data[off + 17]))
-        off += 32
+    fields = _dbf_field_descriptors(path, data)
     offsets = {}
     col = 1  # the deletion-flag byte
     for fld in fields:
@@ -482,7 +540,10 @@ def read_dbf_columns(
         col += fld.length
     missing = [n for n in names if n not in offsets]
     if missing:
-        raise KeyError(f"{path}: no dbf field(s) {missing}")
+        # ValueError (not KeyError): the guard above passes path-attributed
+        # ValueErrors through, and callers treat every parse-contract
+        # failure uniformly
+        raise ValueError(f"{path}: no dbf field(s) {missing}")
     cols: dict[str, list] = {n: [] for n in names}
     deleted: list[bool] = []
     base = header_size
@@ -506,6 +567,7 @@ def read_dbf_columns(
     return cols, deleted
 
 
+@_parse_guard
 def update_dbf_field(path: str, fld: DbfField, values: list) -> None:
     """Write one attribute column into an existing .dbf WITHOUT touching the
     sibling .shp/.shx — OGR ``SetField``/``SetFeature`` semantics
@@ -524,13 +586,7 @@ def update_dbf_field(path: str, fld: DbfField, values: list) -> None:
         raise ValueError(
             f"{path}: {len(values)} values for {n_records} dbf records"
         )
-    fields: list[DbfField] = []
-    off = 32
-    while data[off] != 0x0D:
-        fname = data[off : off + 11].split(b"\x00")[0].decode("ascii")
-        fields.append(DbfField(fname, chr(data[off + 11]),
-                               data[off + 16], data[off + 17]))
-        off += 32
+    fields = _dbf_field_descriptors(path, data)
     col = 1
     existing = None
     for f_ in fields:
