@@ -392,6 +392,21 @@ def write_simi(lines_path: str, simi: np.ndarray) -> None:
     dbf = os.path.splitext(lines_path)[0] + ".dbf"
     cols, deleted = read_dbf_columns(dbf, ["LEFT_FID", "RIGHT_FID"])
     lf, rf = cols["LEFT_FID"], cols["RIGHT_FID"]
+    if not any(deleted) and None not in lf and None not in rf:
+        # vectorized common case (serving hot path): no deletion flags,
+        # no NULL fids — one mask + scatter instead of a 24k-row loop
+        lf_a = np.asarray(lf, np.int64)
+        rf_a = np.asarray(rf, np.int64)
+        valid = (lf_a >= 0) & (rf_a >= 0)
+        if int(valid.sum()) != len(simi):
+            raise ValueError(
+                f"{lines_path}: {len(simi)} scores for "
+                f"{int(valid.sum())} valid edges"
+            )
+        vals = np.zeros(len(lf_a), np.float64)
+        vals[valid] = np.asarray(simi, np.float64)
+        update_dbf_field(dbf, DbfField("simi", "F", 19, 6), vals.tolist())
+        return
     values: list = []
     k = 0
     for i in range(len(lf)):

@@ -114,7 +114,13 @@ class ShapefileTable:
         self.shape_type = shape_type
         self.shapes = shapes
         self.fields = fields
-        self.records = records
+        self._records = records
+        # column-major attribute storage (set by read()): get_field serves
+        # straight from a column; the dict-of-rows view materializes
+        # lazily on first .records access (mutators, save()) — building
+        # 24k × 20-key dicts was the single largest ingest cost on the
+        # serving walk's 1-core host (BENCH.md round 5)
+        self._cols: "dict[str, list] | None" = None
         # file-level type incl. the Z/M variant + the header's 8 bbox/range
         # doubles, kept so a read-modify-write of ATTRIBUTES preserves the
         # layer type and z/m ranges byte-identically
@@ -128,9 +134,34 @@ class ShapefileTable:
     def __len__(self) -> int:
         # attribute-only reads (with_geometry=False) leave shapes empty;
         # the record count is the table length either way
-        return len(self.shapes) or len(self.records)
+        if self.shapes:
+            return len(self.shapes)
+        if self._cols is not None and self._records is None:
+            return len(next(iter(self._cols.values()), []))
+        return len(self.records)
+
+    @property
+    def records(self) -> list[dict]:
+        """Row-major view; materialized from columns on first access and
+        authoritative from then on (mutators edit it in place)."""
+        if self._records is None:
+            names = [f.name for f in self.fields]
+            cols = [self._cols[n] for n in names]
+            self._records = [dict(zip(names, row)) for row in zip(*cols)] \
+                if names else []
+            self._cols = None
+        return self._records
+
+    @records.setter
+    def records(self, value: list[dict]) -> None:
+        self._records = value
+        self._cols = None
 
     def get_field(self, name: str) -> list:
+        if self._cols is not None and self._records is None:
+            if name not in self._cols:
+                raise KeyError(name)
+            return list(self._cols[name])
         return [r[name] for r in self.records]
 
     def field_names(self) -> list[str]:
@@ -140,11 +171,12 @@ class ShapefileTable:
         """OGR CreateField equivalent (``ExtractFeatures.py:184-186``)."""
         if f.name in self.field_names():
             return
+        recs = self.records  # materialize BEFORE the field list grows
         self.fields.append(f)
         fill = default
         if fill is None:
             fill = "" if f.type == "C" else (False if f.type == "L" else 0)
-        for r in self.records:
+        for r in recs:
             r[f.name] = fill
 
     def set_field(self, index: int, name: str, value) -> None:
@@ -170,15 +202,21 @@ class ShapefileTable:
         else:
             shape_type, raw_type, ranges = _read_shp_header(base + ".shp")
             shapes = []
-        fields, records, deleted = _read_dbf_full(base + ".dbf")
-        if any(deleted) and len(deleted) == len(shapes):
-            # dBase deletion flags (editors that don't repack): drop the
-            # flagged records AND their geometry together so shapes[] and
-            # records[] stay index-aligned (OGR does the same)
-            shapes = [s for s, d in zip(shapes, deleted) if not d]
-        records = [r for r, d in zip(records, deleted) if not d]
-        table = ShapefileTable(shape_type, shapes, fields, records,
+        fields, cols, deleted = _read_dbf_columnar(base + ".dbf")
+        if any(deleted):
+            if len(deleted) == len(shapes):
+                # dBase deletion flags (editors that don't repack): drop
+                # the flagged records AND their geometry together so
+                # shapes[] and columns stay index-aligned (OGR does the
+                # same)
+                shapes = [s for s, d in zip(shapes, deleted) if not d]
+            cols = [[v for v, d in zip(c, deleted) if not d] for c in cols]
+        table = ShapefileTable(shape_type, shapes, fields, None,
                                raw_shape_type=raw_type, header_ranges=ranges)
+        if fields:
+            table._cols = {f.name: c for f, c in zip(fields, cols)}
+        else:  # fieldless .dbf: the row view must still carry the count
+            table._records = [{} for _ in range(len(deleted) - sum(deleted))]
         if any(deleted):
             table.deleted_mask = np.asarray(deleted, bool)
         return table
@@ -455,6 +493,15 @@ def _parse_dbf_column(fld: DbfField, raw: np.ndarray) -> list:
             floaty = (np.char.find(raw, b".") >= 0) | (
                 np.char.find(np.char.lower(raw), b"e") >= 0
             )
+        if not blank.any():
+            # vectorized fast paths (the per-cell loop below was an
+            # ingest hotspot on 24k-edge RAG tables): all-float parses
+            # via one astype; all-int via int64 when the declared width
+            # cannot overflow it (dBase N <= 18 digits)
+            if floaty.all():
+                return raw.astype(np.float64).tolist()
+            if not floaty.any() and fld.length <= 18:
+                return raw.astype(np.int64).tolist()
         num = np.where(blank, b"0", raw).astype(np.float64)
         # ints parse from the TEXT: a 16+-digit dBase N column would lose
         # precision through the float64 fast path
@@ -469,10 +516,15 @@ def _parse_dbf_column(fld: DbfField, raw: np.ndarray) -> list:
 
 
 @_parse_guard
-def _read_dbf_full(path: str) -> tuple[list[DbfField], list[dict], list[bool]]:
-    """Returns (fields, ALL records incl. deletion-flagged ones, deleted
-    mask) — the mask lets ``ShapefileTable.read`` drop a flagged record's
-    geometry too, keeping shapes[] and records[] index-aligned."""
+def _read_dbf_columnar(
+    path: str,
+) -> tuple[list[DbfField], list[list], list[bool]]:
+    """Returns (fields, column-major values over ALL physical records
+    incl. deletion-flagged ones, deleted mask) — the mask lets
+    ``ShapefileTable.read`` drop a flagged record's geometry too, keeping
+    shapes[] and the columns index-aligned. Column-major is the parse's
+    natural shape; ``_read_dbf_full`` materializes row dicts on top for
+    callers that want them."""
     with open(path, "rb") as f:
         data = f.read()
     n_records, header_size, record_size = struct.unpack("<IHH", data[4:12])
@@ -488,11 +540,40 @@ def _read_dbf_full(path: str) -> tuple[list[DbfField], list[dict], list[bool]]:
         col += fld.length
         raw = np.char.strip(cell.view(f"S{fld.length}")[:, 0])
         cols.append(_parse_dbf_column(fld, raw))
+    if not fields:
+        # fieldless .dbf (pathological but legal): keep the record count
+        # through one empty pseudo-column? No — callers key on fields;
+        # return no columns and let the row view carry the count.
+        return fields, [[] for _ in range(0)], deleted_mask
+    return fields, cols, deleted_mask
+
+
+def _read_dbf_full(path: str) -> tuple[list[DbfField], list[dict], list[bool]]:
+    fields, cols, deleted_mask = _read_dbf_columnar(path)
     names = [f.name for f in fields]
     records = [dict(zip(names, row)) for row in zip(*cols)] if fields else [
-        {} for _ in range(n_records)
+        {} for _ in range(len(deleted_mask))
     ]
     return fields, records, deleted_mask
+
+
+def _format_payload(fld: DbfField, values: list) -> list[bytes]:
+    """Format a whole column for write-back. The common bulk case — a
+    finite float column with declared decimals and no NULLs (``simi``
+    write-back over a 24k-edge RAG, ``ingest.write_simi``) — formats in
+    one vectorized ``np.char.mod`` instead of 24k f-string calls; anything
+    else falls back to the exact per-value path."""
+    if fld.type in ("N", "F") and fld.decimals and len(values) >= 256:
+        arr = np.asarray(values)
+        if arr.dtype.kind == "f" and np.isfinite(arr).all():
+            s = np.char.mod(f"%{fld.length}.{fld.decimals}f", arr)
+            lens = np.char.str_len(s)
+            if (lens == fld.length).all():
+                return [x.encode("ascii") for x in s.tolist()]
+    return [
+        b" " * fld.length if v is None else _format_value(fld, v)
+        for v in values
+    ]
 
 
 def _format_value(fld: DbfField, value) -> bytes:
@@ -544,26 +625,24 @@ def read_dbf_columns(
         # ValueErrors through, and callers treat every parse-contract
         # failure uniformly
         raise ValueError(f"{path}: no dbf field(s) {missing}")
-    cols: dict[str, list] = {n: [] for n in names}
-    deleted: list[bool] = []
-    base = header_size
-    for _ in range(n_records):
-        deleted.append(data[base : base + 1] == b"*")
-        for n in names:
-            o, fld = offsets[n]
-            txt = data[base + o : base + o + fld.length].decode(
-                "ascii", "replace").strip()
-            if fld.type in ("N", "F"):
-                if txt in ("", "*" * len(txt)):
-                    cols[n].append(None)
-                elif (fld.decimals or fld.type == "F" or "." in txt
-                      or "e" in txt.lower()):
-                    cols[n].append(float(txt))
-                else:
-                    cols[n].append(int(txt))
-            else:
-                cols[n].append(txt)
-        base += record_size
+    # vectorized: one strided table view, then the shared column parser
+    # per requested field (the per-record/per-cell Python loop this
+    # replaces was an ingest hotspot on 24k-edge RAG tables)
+    table = np.frombuffer(
+        data, np.uint8, n_records * record_size, header_size
+    ).reshape(n_records, record_size)
+    deleted = (table[:, 0] == ord("*")).tolist() if n_records else []
+    cols: dict[str, list] = {}
+    for n in names:
+        o, fld = offsets[n]
+        cell = np.ascontiguousarray(table[:, o : o + fld.length])
+        raw = np.char.strip(cell.view(f"S{fld.length}")[:, 0])
+        if fld.type in ("N", "F"):
+            cols[n] = _parse_dbf_column(fld, raw)
+        else:
+            # historical contract of this reader: text columns come back
+            # stripped but NOT L-decoded (callers only use numeric ids)
+            cols[n] = np.char.decode(raw, "ascii", "replace").tolist()
     return cols, deleted
 
 
@@ -602,22 +681,21 @@ def update_dbf_field(path: str, fld: DbfField, values: list) -> None:
                 f"{f_.length} != {fld.length}"
             )
         # format with the FILE's declared spec (decimals may differ)
-        payload = [
-            b" " * f_.length if v is None else _format_value(f_, v)
-            for v in values
-        ]
-        base = header_size
-        for rec in payload:
-            data[base + col_off : base + col_off + fld.length] = rec
-            base += record_size
+        payload = _format_payload(f_, values)
+        if n_records:
+            # one strided numpy assignment instead of n_records bytearray
+            # slice writes (write-back hot path on 24k-edge RAG tables)
+            tbl = np.frombuffer(
+                data, np.uint8, n_records * record_size, header_size
+            ).reshape(n_records, record_size)
+            tbl[:, col_off : col_off + fld.length] = np.frombuffer(
+                b"".join(payload), np.uint8
+            ).reshape(n_records, fld.length)
         with open(path, "wb") as f:
             f.write(data)
         return
     # append the field: splice the new descriptor + per-record column bytes
-    payload = [
-        b" " * fld.length if v is None else _format_value(fld, v)
-        for v in values
-    ]
+    payload = _format_payload(fld, values)
     descr = struct.pack(
         "<11sc4xBB14x", fld.name.encode("ascii")[:11],
         fld.type.encode("ascii"), fld.length, fld.decimals,
