@@ -87,8 +87,37 @@ def serve_bench():
                             shps, scene.name, f"{base}{ext}"))
         return images, shps
 
-    log = (lambda *a: print("[bench]", *a, file=sys.stderr)) if verbose \
-        else (lambda *a: None)
+    _t_start = time.perf_counter()
+    # absolute +seconds timestamps: walk-phase attribution needs event
+    # ORDER and gaps, which per-phase durations alone can't reconstruct
+    log = (lambda *a: print(
+        f"[bench +{time.perf_counter() - _t_start:8.3f}]", *a,
+        file=sys.stderr)) if verbose else (lambda *a: None)
+
+    def link_h2d_mbps() -> float:
+        """Measured host->device rate through the relay, MB/s.
+
+        The serve metric is DOMINATED by the per-scene raw-tile upload
+        (12.6 MB at 2048x2048x3), and the relay's ambient bandwidth has
+        been observed anywhere between ~5 and ~36 MB/s on this tunnel —
+        a 7x exogenous swing. Recording the rate alongside the
+        throughput makes the number interpretable (and lets a healthy
+        -link run be told apart from a congested one).
+        """
+        import jax.numpy as jnp
+
+        mb = 8.0
+        x = np.random.default_rng(0).integers(
+            0, 255, (int(mb * 2**20),), np.uint8)
+        rates = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            d = jnp.asarray(x)
+            float(jnp.abs(d[:: 2**18].astype(jnp.float32)).sum())
+            rates.append(mb / (time.perf_counter() - t0))
+            del d
+            x = x ^ np.uint8(1)  # defeat any content caching
+        return round(max(rates), 2)
     with tempfile.TemporaryDirectory() as root:
         images, shps = export_folder(root, list(range(1, K + 1)))
         import warnings
@@ -113,18 +142,24 @@ def serve_bench():
                                   extractor=ex)
             dt = time.perf_counter() - t0
         assert len(done) == K, f"walk processed {len(done)}/{K} scenes"
+        link = link_h2d_mbps()
 
     mpix = K * H * W / 1e6
     baseline_per_chip = 50.0 / 8.0
     if verbose:
         print(f"[bench] serve: {K} scenes in {dt:.3f}s "
-              f"({dt / K:.3f}s/scene incl. ingest+staging+writeback)",
+              f"({dt / K:.3f}s/scene incl. ingest+staging+writeback); "
+              f"relay H2D {link} MB/s "
+              f"({H * W * 3 / 1e6:.1f} MB tile upload per scene)",
               file=sys.stderr)
     print(json.dumps({
         "metric": "folder_serving_throughput",
         "value": round(mpix / dt, 4),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mpix / dt / baseline_per_chip, 4),
+        # the per-scene tile upload rides this link; at <~15 MB/s the
+        # walk is LINK-bound, not compute- or host-bound (BENCH.md r5)
+        "link_h2d_mbps": link,
     }))
 
 

@@ -486,12 +486,20 @@ def process_folder(
 
                 return pool.submit(load)
 
-            future = submit(jobs[0]) if jobs else None
+            # two-deep prefetch: with one ingest worker the second submit
+            # just queues, but it keeps the worker busy while the main
+            # thread blocks in finish() — a single-deep pipeline left the
+            # ingest thread idle exactly when the walk had time to spare
+            # (and the relay link's 5-36 MB/s ambient swings make staging
+            # lead time the walk's highest-variance input)
+            depth = 2
+            futures = [submit(j) for j in jobs[:depth]]
             pending = None  # (entry, h5, scene, finalize-future)
             for i, (entry, image, polygons, points, lines, h5) in enumerate(jobs):
-                this_future, future = future, (
-                    submit(jobs[i + 1]) if i + 1 < len(jobs) else None
-                )
+                this_future = futures[i]
+                futures[i] = None  # don't pin every scene for the walk
+                if i + depth < len(jobs):
+                    futures.append(submit(jobs[i + depth]))
                 try:
                     t0 = time.perf_counter()
                     scene, ds = this_future.result()
