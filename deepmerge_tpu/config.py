@@ -197,6 +197,15 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     resume: bool = False
+    aux_weights: tuple[float, float] = (0.0, 0.0)
+                                              # v4/v5 deep-supervision loss
+                                              # weights (main + w0*aux1 +
+                                              # w1*aux2). The reference keeps
+                                              # this sum commented out with
+                                              # weights 0.1/0.2
+                                              # (Train_SMT.py:285-288);
+                                              # default off to match what it
+                                              # actually runs.
     fused_block: bool = False                 # train through the Pallas
                                               # megakernel + saved-activation
                                               # VJP. MEASURED NEGATIVE on v5e

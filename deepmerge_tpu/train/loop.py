@@ -142,7 +142,7 @@ def _siamese_forward_loss(model, params, batch_stats, patches, designed,
 def make_train_step(
     model: S2Former,
     cfg: Config,
-    aux_weights: tuple[float, float] = (0.0, 0.0),
+    aux_weights: "tuple[float, float] | None" = None,
 ):
     """Build the jitted Siamese train step.
 
@@ -152,8 +152,12 @@ def make_train_step(
       flag: (B,) float — 1 same-object, 0 different (``MyUtils1.py:35-36``)
 
     ``aux_weights`` enables v4/v5 deep supervision (the reference keeps the
-    weighted aux sum commented out at ``Train_SMT.py:285-288``; default off).
+    weighted aux sum commented out at ``Train_SMT.py:285-288`` with weights
+    0.1/0.2; default None reads ``cfg.train.aux_weights``, itself off by
+    default to match what the reference actually runs).
     """
+    if aux_weights is None:
+        aux_weights = tuple(cfg.train.aux_weights)
     model = _training_model(model, cfg.train.fused_block)
     margin = cfg.train.margin
 
@@ -255,7 +259,7 @@ def _make_extracting_loss_fn(model, cfg, device_scene, aux_weights):
 
 
 def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
-                          aux_weights: tuple[float, float] = (0.0, 0.0)):
+                          aux_weights: "tuple[float, float] | None" = None):
     """Siamese train step with the patch pipeline fused INTO the jitted step.
 
     The batch is just per-pair point metadata (centers/scales/factors/
@@ -264,6 +268,8 @@ def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
     program. On dispatch-heavy platforms this removes the per-step data
     round-trips that otherwise dominate the epoch (measured ~6x).
     """
+    if aux_weights is None:
+        aux_weights = tuple(cfg.train.aux_weights)
     model = _training_model(model, cfg.train.fused_block)
     loss_fn = _make_extracting_loss_fn(model, cfg, device_scene, aux_weights)
 
@@ -288,7 +294,7 @@ def make_fused_train_step(model: S2Former, cfg: Config, device_scene,
 
 
 def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
-                       aux_weights: tuple[float, float] = (0.0, 0.0)):
+                       aux_weights: "tuple[float, float] | None" = None):
     """Run an ENTIRE epoch as one jitted program (lax.scan over steps).
 
     The per-step inputs are tiny (point metadata, ~KBs/step), so a whole
@@ -298,6 +304,8 @@ def make_scanned_epoch(model: S2Former, cfg: Config, device_scene,
     (state, losses)`` with ``arrays`` from
     ``FusedPairSampler.epoch_arrays``.
     """
+    if aux_weights is None:
+        aux_weights = tuple(cfg.train.aux_weights)
     model = _training_model(model, cfg.train.fused_block)
     loss_fn = _make_extracting_loss_fn(model, cfg, device_scene, aux_weights)
 

@@ -46,6 +46,14 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="/tmp/deepmerge_eval_ckpt")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the checkpoint dir")
+    p.add_argument("--variant", default="v3",
+                   help="model variant to train+serve (v1-v6; v4/v5 carry "
+                   "aux heads usable with --aux-weights)")
+    p.add_argument("--aux-weights", type=float, nargs=2, default=None,
+                   metavar=("W1", "W2"),
+                   help="v4/v5 deep-supervision loss weights (the "
+                   "reference's commented-out sum uses 0.1 0.2, "
+                   "Train_SMT.py:285-288)")
     p.add_argument("--quantize",
                    choices=["", "w8a8", "w8a8+attn", "w8a8-static",
                             "w8a8-static+attn"],
@@ -81,12 +89,14 @@ def main(argv=None):
     from deepmerge_tpu.utils.parity import pair_disagreement
 
     cfg = Config(
-        model=ModelConfig(**model_over),
+        model=ModelConfig(variant=args.variant, **model_over),
         train=TrainConfig(
             num_epochs=epochs,
             seed=args.train_seed,
             checkpoint_dir=args.checkpoint_dir,
             resume=args.resume,
+            aux_weights=(tuple(args.aux_weights)
+                         if args.aux_weights else (0.0, 0.0)),
         ),
     )
     print(f"[eval] model={cfg.model.name} epochs={epochs} "
