@@ -307,14 +307,24 @@ def mesh_bench():
                   f"({H * w / 1e6 / dt:.3f} MPix/s)", file=sys.stderr)
         return dt, H * w / 1e6
 
-    t1, _ = timed_run(1)
-    if N > 1:
-        tN, mpix = timed_run(N)
-    else:
-        tN, mpix = t1, H * strip_w / 1e6
-    eff = t1 / tN  # weak scaling: same per-device work, ideal ratio 1.0
+    # sweep every power of two up to N: a single (1, N) pair can't show
+    # WHERE scaling bends (VERDICT r4 next #2)
+    points = [1]
+    while points[-1] * 2 <= N:
+        points.append(points[-1] * 2)
+    results = {n: timed_run(n) for n in points}
+    t1 = results[1][0]
+    tN, mpix = results[N]
+    # raw weak scaling (same per-device work; ideal 1.0 on real chips).
+    # On the VIRTUAL CPU mesh all N "devices" share this host's core(s):
+    # the N shards' compute serializes, so ideal time is N*t1 and the
+    # meaningful column is the serialization-CORRECTED efficiency
+    # N*t1/tN — it isolates the sharded path's overheads (collectives,
+    # halo staging, gather) from time-slicing, which real ICI never pays.
+    eff = t1 / tN
+    cores = os.cpu_count() or 1
     baseline = 50.0 / 8.0 * N  # v5e-8 headline, pro-rated to N chips
-    print(json.dumps({
+    out = {
         "metric": "mesh_segment_and_merge_throughput",
         "value": round(mpix / tN, 4),
         "unit": "megapixels/sec",
@@ -323,7 +333,16 @@ def mesh_bench():
         "platform": devices[0].platform,
         "per_device_mpix_s": round(mpix / tN / N, 4),
         "weak_scaling_efficiency": round(eff, 4),
-    }))
+        "points": {
+            str(n): {"seconds": round(t, 3), "mpix": round(m, 3),
+                     "corrected_eff": round(n * t1 / t, 4)}
+            for n, (t, m) in results.items()
+        },
+    }
+    if on_cpu:
+        out["host_cores"] = cores
+        out["cpu_serialized_efficiency"] = round(N * t1 / tN, 4)
+    print(json.dumps(out))
 
 
 def main():
