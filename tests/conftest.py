@@ -29,6 +29,15 @@ from deepmerge_tpu.config import Config, DataConfig, ModelConfig  # noqa: E402
 from deepmerge_tpu.geodata.synthetic import generate_scene  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute suites (quantize/pipeline/train/sharding/"
+        "kernel-parity/DCN/checkpoint/folder-walk/torch-export) — the "
+        "inner loop runs `-m 'not slow'` (~6 min), full suite ~26 min",
+    )
+
+
 @pytest.fixture(scope="session")
 def tiny_model_cfg() -> ModelConfig:
     """A scaled-down v3 that keeps tests fast but exercises every path."""

@@ -13,6 +13,10 @@ from deepmerge_tpu.models.legacy import (
 )
 from deepmerge_tpu.models.vit import ScaleEmbedTransformer, VisionTransformer
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
+
 
 def test_vision_transformer_forward():
     m = VisionTransformer(img_size=32, patch_size=8, embed_dim=32, depth=2,

@@ -11,6 +11,10 @@ from deepmerge_tpu.models.s2former import build_model
 from deepmerge_tpu.train.checkpoint import CheckpointManager, should_checkpoint
 from deepmerge_tpu.train.loop import create_train_state
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
+
 
 def test_reference_cadence():
     cfg = Config(train=TrainConfig(checkpoint_every=5, checkpoint_tail_from=90,

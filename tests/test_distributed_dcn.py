@@ -14,6 +14,10 @@ import sys
 
 import pytest
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "dcn_worker.py")
 

@@ -20,6 +20,9 @@ from deepmerge_tpu.ops.pallas.fused_block import (
     fused_block_chain,
 )
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
 
 def _params(key, n, c, heads, hid):
     ks = jax.random.split(key, 8)

@@ -6,6 +6,10 @@ from deepmerge_tpu.geodata.ingest import export_scene, load_scene, write_simi
 from deepmerge_tpu.geodata.shapefile import ShapefileTable
 from deepmerge_tpu.geodata.synthetic import generate_scene
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
+
 
 def test_scene_roundtrip(tmp_path):
     scene = generate_scene(h=96, w=96, n_regions=12, n_objects=4, seed=3,

@@ -17,6 +17,10 @@ from deepmerge_tpu.models.s2former import build_model
 from deepmerge_tpu.train.loop import create_train_state, make_train_step
 from deepmerge_tpu.train.sampler import PairSampler, stage_scene
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
+
 
 def test_end_to_end_slice(tiny_model_cfg, tiny_data_cfg):
     scene = generate_scene(h=160, w=160, n_regions=30, n_objects=5, seed=11)

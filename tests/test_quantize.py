@@ -28,6 +28,10 @@ from deepmerge_tpu.ops.pallas.fused_block import (
 )
 from tests.test_fused_block import _params, _tiny_cfg
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
+
 
 def test_quantize_weight_roundtrip():
     w = jax.random.normal(jax.random.key(0), (64, 96), jnp.float32) * 0.1

@@ -17,6 +17,10 @@ from deepmerge_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard
 from deepmerge_tpu.train.loop import create_train_state, make_train_step
 from deepmerge_tpu.train.sampler import PairSampler
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
+
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8

@@ -15,6 +15,10 @@ from deepmerge_tpu.train.loop import (
 from deepmerge_tpu.train.losses import contrastive_pair_loss
 from deepmerge_tpu.train.sampler import PairSampler
 
+# ~2-4 min each on the 1-core CI box — excluded from the inner-loop
+# subset (`pytest -m 'not slow'`, CLAUDE.md)
+pytestmark = __import__('pytest').mark.slow
+
 
 def test_contrastive_loss_values():
     e1 = jnp.array([[1.0, 0.0], [0.0, 0.0]])
