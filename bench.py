@@ -218,9 +218,19 @@ def train_bench():
     state, n_steps = run_epoch(state, 0)  # warmup / compile
     t0 = time.perf_counter()
     total_pairs = 0
+    # pipelined like driver.train: build + dispatch epoch k+1 before
+    # syncing epoch k's losses, so the ~0.3 s host epoch_arrays (+ the
+    # ~1.2 MB upload) hides behind device compute
+    pending = None
     for e in range(1, epochs + 1):
-        state, n_steps = run_epoch(state, e)
+        arrays = sampler.epoch_arrays(e, cfg.data.batch_size)
+        state, losses = epoch_fn(state, *arrays, rng)
+        if pending is not None:
+            float(jax.numpy.asarray(pending).sum())
+        pending = losses
+        n_steps = arrays[0].shape[0]
         total_pairs += n_steps * cfg.data.batch_size
+    float(jax.numpy.asarray(pending).sum())
     dt = time.perf_counter() - t0
     if verbose:
         print(f"[bench] train: {epochs} epochs x {n_steps} steps "

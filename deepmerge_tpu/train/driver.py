@@ -107,19 +107,48 @@ def train(
     rng = jax.random.key(cfg.train.seed + 1)
     t_start = time.time() - elapsed0
 
+    # one-epoch-deep pipelining for the scanned path: the loss pull is the
+    # only true sync, so deferring it until AFTER the next epoch's arrays
+    # are built and its program dispatched overlaps the ~0.3 s host-side
+    # epoch_arrays (plus the ~1.2 MB upload) with device compute. The
+    # device step itself is 149.8 ms (rep-slope, BENCH.md r5); the sync
+    # order below is what turns that into wall-clock. Checkpoint epochs
+    # resolve BEFORE the next dispatch — the donated state buffers are
+    # consumed by the next program, so a deferred save would race.
+    pending = None  # (epoch, device losses) awaiting the sync
+
+    def resolve(ep, losses, ckpt_state=None):
+        mean_loss = (float(np.mean(np.asarray(losses)))
+                     if losses is not None else 0.0)
+        elapsed = time.time() - t_start
+        log_fn(
+            f"epoch {ep + 1}/{cfg.train.num_epochs}: "
+            f"loss={mean_loss:.5f} elapsed={elapsed:.1f}s"
+        )
+        history.append_loss(mean_loss, mean_loss, elapsed)
+        if ckpt_state is not None and should_checkpoint(ep, cfg):
+            path = ckpt.save(ckpt_state, ep, elapsed)
+            log_fn(f"  checkpoint -> {path}")
+
     for epoch in range(start_epoch, cfg.train.num_epochs):
         # numpy seeds are 32-bit; fold the (seed, epoch) pair into range
         # (large cfg.train.seed values crashed the sampler otherwise)
         epoch_seed = (cfg.train.seed * 100003 + epoch) % (2**32)
         if epoch_fn is not None:
             arrays = sampler.epoch_arrays(epoch_seed, cfg.data.batch_size)
+            if pending is not None and should_checkpoint(pending[0], cfg):
+                resolve(*pending, ckpt_state=state)
+                pending = None
             if arrays is None:
-                mean_loss = 0.0
+                losses = None
             else:
                 if max_steps_per_epoch is not None:
                     arrays = tuple(a[:max_steps_per_epoch] for a in arrays)
                 state, losses = epoch_fn(state, *arrays, rng)
-                mean_loss = float(np.mean(np.asarray(losses)))
+            if pending is not None:
+                resolve(*pending)
+            pending = (epoch, losses)
+            continue
         else:
             batches = sampler.epoch_batches(
                 epoch_seed=epoch_seed,
@@ -141,5 +170,8 @@ def train(
         if should_checkpoint(epoch, cfg):
             path = ckpt.save(state, epoch, elapsed)
             log_fn(f"  checkpoint -> {path}")
+
+    if pending is not None:
+        resolve(*pending, ckpt_state=state)
 
     return state, history
