@@ -343,6 +343,7 @@ def process_folder(
     watch_seconds: Optional[float] = None,
     watch_iterations: Optional[int] = None,
     extractor: Optional[FeatureExtractor] = None,
+    stats: Optional[dict] = None,
 ) -> list[str]:
     """Walk per-scene shapefile folders like the reference's multi-scene
     driver (``ExtractFeatures.py:241-303``): each subfolder holds
@@ -362,7 +363,12 @@ def process_folder(
     scan, so transient errors self-heal while the failure stays visible
     in the log). ``watch_iterations`` bounds the number of scans (None =
     until killed); the compiled extractor is reused across scans, so a
-    steady stream of identically-shaped tiles never recompiles."""
+    steady stream of identically-shaped tiles never recompiles.
+
+    ``stats``: pass a dict to receive ``{"scene_done_ts": [wall-clock
+    perf_counter at each scene's completion]}`` — benchmarks derive the
+    pipeline's steady-state rate (inter-completion deltas) from it,
+    separating the walk-boundary fill cost from the sustained rate."""
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -425,6 +431,10 @@ def process_folder(
             # a failure surfaces here, attributed to its own scene.
             try:
                 _, _, result = fut.result()
+                if stats is not None:
+                    stats.setdefault("scene_done_ts", []).append(
+                        time.perf_counter()
+                    )
                 if write_labelmaps and result is not None:
                     if os.path.exists(
                         os.path.join(shp_folder, f"{entry}_labels.npy")
