@@ -496,13 +496,15 @@ def process_folder(
 
                 return pool.submit(load)
 
-            # two-deep prefetch: with one ingest worker the second submit
-            # just queues, but it keeps the worker busy while the main
-            # thread blocks in finish() — a single-deep pipeline left the
-            # ingest thread idle exactly when the walk had time to spare
-            # (and the relay link's 5-36 MB/s ambient swings make staging
-            # lead time the walk's highest-variance input)
-            depth = 2
+            # one-deep prefetch: ingest (~0.3 s) fits comfortably inside a
+            # scene's device segment, and deeper prefetch was MEASURED to
+            # hurt on relayed links — convoying two or three 12.6 MB tile
+            # uploads ahead of the first scene's embedding pull stalls the
+            # pull behind them in the relay's op stream (BENCH.md r5 walk
+            # timeline: scene-1 pull 3.7 s with depth 2 vs 2.4 s with
+            # depth 1 at the same link rate). The submit-ahead list keeps
+            # the depth a named knob should real PCIe hosts want more.
+            depth = 1
             futures = [submit(j) for j in jobs[:depth]]
             pending = None  # (entry, h5, scene, finalize-future)
             for i, (entry, image, polygons, points, lines, h5) in enumerate(jobs):
