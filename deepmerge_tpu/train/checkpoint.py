@@ -119,6 +119,9 @@ class CheckpointManager:
             meta = json.load(f)
         epoch = int(meta["epoch"])
         if for_resume and epoch + 1 >= self.cfg.train.num_epochs:
+            # reference semantics (Train_SMT.py:174-175): resuming at or
+            # past the schedule is an error. Re-serving a COMPLETED run
+            # uses a plain restore instead (eval.py --serve-only).
             raise ValueError(
                 f"checkpoint epoch {epoch} is at/past num_epochs "
                 f"{self.cfg.train.num_epochs}"

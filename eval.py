@@ -46,6 +46,11 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="/tmp/deepmerge_eval_ckpt")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the checkpoint dir")
+    p.add_argument("--serve-only", action="store_true",
+                   help="skip training: plain-restore the checkpoint "
+                   "dir's final checkpoint and run the serving half "
+                   "(calibration + held-out merges) — e.g. to re-serve a "
+                   "finished trajectory through --quantize")
     p.add_argument("--variant", default="v3",
                    help="model variant to train+serve (v1-v6; v4/v5 carry "
                    "aux heads usable with --aux-weights)")
@@ -106,14 +111,29 @@ def main(argv=None):
                     points_per_region=points, noise=args.noise)
     train_scene = generate_scene(seed=args.train_seed, **scene_kw)
 
-    t0 = time.time()
-    state, history = train(cfg, scene=train_scene)
-    t_train = time.time() - t0
-    final_loss = (
-        history.train_losses[-1] if history.train_losses else float("nan")
-    )
-    print(f"[eval] trained {epochs} epochs in {t_train:.1f}s, "
-          f"final loss {final_loss:.5f}")
+    if args.serve_only:
+        import jax
+
+        from deepmerge_tpu.train.checkpoint import CheckpointManager
+        from deepmerge_tpu.train.loop import create_train_state
+
+        mdl = build_model(cfg.model)
+        state = create_train_state(mdl, cfg, jax.random.key(cfg.train.seed))
+        state, ep, _ = CheckpointManager(
+            args.checkpoint_dir, cfg).restore(state)
+        t_train, final_loss = 0.0, float("nan")
+        print(f"[eval] serve-only: restored {args.checkpoint_dir} "
+              f"(through epoch {ep})")
+    else:
+        t0 = time.time()
+        state, history = train(cfg, scene=train_scene)
+        t_train = time.time() - t0
+        final_loss = (
+            history.train_losses[-1] if history.train_losses else
+            float("nan")
+        )
+        print(f"[eval] trained {epochs} epochs in {t_train:.1f}s, "
+              f"final loss {final_loss:.5f}")
 
     infer_mcfg = dataclasses.replace(cfg.model, quantize=args.quantize)
     model = build_model(infer_mcfg)
